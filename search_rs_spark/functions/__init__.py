@@ -1,0 +1,1 @@
+"""search_rs_spark — PySpark-native rebuild of tomfran/search-rs."""
