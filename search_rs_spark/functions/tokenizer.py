@@ -37,7 +37,7 @@ def tokenize_and_stem(text: str) -> list[str]:
 def _make_tokens_series_fn(do_stem: bool):
     import pandas as pd
 
-    def fn(texts: "pd.Series") -> "pd.Series":
+    def fn(texts):
         # Vectorised clean/lower/split; stemming mapped with a memoised
         # pure function (high hit rate on natural-language corpora).
         cleaned = texts.fillna("").str.replace(_NON_ALNUM, " ", regex=True).str.lower()

@@ -1,0 +1,109 @@
+"""Free-text BM25 top-k query (Q1, Q9-Q14).
+
+Spark re-expression of ``Engine::free_query``
+(/root/reference/search/src/engine/mod.rs:138-207):
+
+1. tokenize+stem the query with the build-identical preprocessor, then
+   spellcheck each token (dropping unmatched ones) — driver side.
+2. join the tiny query-terms set against the blocked postings table
+   (Catalyst prunes to the query terms' row groups; the query-terms
+   side is broadcast).
+3. explode postings; per-posting BM25 contribution
+   ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` (mod.rs:162-169)
+   with the idf computed driver-side from the vocabulary df.
+4. per-doc aggregation: sum of contributions, then the reference's
+   non-standard renormalization ``/ doc_len`` (mod.rs:186), plus the
+   minimal-window score over collected per-token positions
+   (mod.rs:255-286), combined 3*window + bm25 (mod.rs:284-285).
+5. distributed top-k: ``ORDER BY score DESC, doc_id LIMIT k``
+   (TakeOrderedAndProject — the heap of heap.rs:32-63; ties broken by
+   doc_id, which the reference leaves unspecified).
+
+No RDDs, no driver-side scoring: the only collect is the final k rows.
+``doc_len`` rides inside the postings blocks, so scoring requires no
+join against doc_lengths; the url materialization joins only the k
+winners.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_and_stem
+from ..plans.build import BM25_B, BM25_K1
+from .window_score import BM25_SCORE_MULTIPLIER, window_score_udf
+
+NUM_RESULTS = 100  # search/src/main.rs:10
+
+
+def resolve_query_terms(index, query: str) -> list[tuple[int, str, int]]:
+    """-> [(qid, term, df)]: tokenize, spellcheck, drop unmatched (mod.rs:141-146)."""
+    vocab = index.driver_vocab()
+    out = []
+    for tok in tokenize_and_stem(query):
+        corrected = vocab.spellcheck_term(tok)
+        if corrected is not None:
+            _, df = vocab.get(corrected)
+            out.append((len(out), corrected, df))
+    return out
+
+
+def scored_hits(index, terms: list[tuple[int, str, int]]) -> DataFrame:
+    """Per-(doc, qid) exploded hits with bm25 contribution columns."""
+    spark = index.spark
+    qdf = spark.createDataFrame(
+        [(qid, term, float(index.idf(df))) for qid, term, df in terms],
+        ["qid", "term", "idf"],
+    )
+    hits = index.postings.join(F.broadcast(qdf), "term")
+    avgdl = index.avgdl or 1.0
+
+    e = hits.select(
+        "qid",
+        "idf",
+        F.explode(F.arrays_zip("doc_ids", "tfs", "dls", "positions")).alias("p"),
+    ).select(
+        "qid",
+        "idf",
+        F.col("p.doc_ids").alias("doc_id"),
+        F.col("p.tfs").cast("double").alias("tf"),
+        F.col("p.dls").cast("double").alias("dl"),
+        F.col("p.positions").alias("positions"),
+    )
+    return e.withColumn(
+        "bm",
+        F.col("idf")
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+    )
+
+
+def free_query(index, query: str, k: int = NUM_RESULTS) -> DataFrame:
+    """-> DataFrame (doc_id, url, score), score-desc / doc_id-asc, k rows."""
+    terms = resolve_query_terms(index, query)
+    spark = index.spark
+    if not terms:
+        return (
+            index.doc_lengths.select("doc_id", "url", F.lit(0.0).alias("score")).limit(0)
+        )
+    num_tokens = len(terms)
+
+    e = scored_hits(index, terms)
+    per_doc = e.groupBy("doc_id", "dl").agg(
+        F.sum("bm").alias("bm_sum"),
+        F.collect_list(F.struct(F.col("qid"), F.col("positions"))).alias("tpos"),
+    )
+    scored = per_doc.withColumn(
+        "score",
+        window_score_udf(num_tokens)(F.col("tpos"))
+        + BM25_SCORE_MULTIPLIER * F.col("bm_sum") / F.col("dl"),
+    )
+    topk = scored.select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).limit(k)
+    return (
+        index.doc_lengths.join(F.broadcast(topk), "doc_id")
+        .select("doc_id", "url", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

@@ -1,0 +1,95 @@
+"""Boolean queries: shunting-yard parse + set-algebra evaluation (Q4-Q8, Q15).
+
+Reference: ``Engine::boolean_query`` + ``infix_to_postfix_boolean``
+(/root/reference/search/src/engine/mod.rs:94-136,215-247) and the
+sorted-list set operators (postings.rs:111-200).
+
+Faithfully reproduced quirks (each pinned by a test):
+- operands are looked up VERBATIM (no tokenize/stem/lowercase), then
+  spellchecked (mod.rs:108-112);
+- precedence NOT=3 > AND=2 > OR=1; the pop condition is strictly
+  greater, so equal-precedence operators do NOT pop (mod.rs:233-239);
+- ``NOT`` of an EMPTY doc-id list returns ``1..=n`` — including the
+  out-of-range id ``n`` and excluding 0 (postings.rs:179-181); the
+  non-empty case is the complement over ``0..n`` (postings.rs:188-198);
+- every boolean hit scores a constant 1.0 (mod.rs:122-127).
+
+Evaluation is DataFrame set algebra — intersect / union / except on
+doc-id columns — so operand lists never materialize on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PRECEDENCE = {"NOT": 3, "AND": 2, "OR": 1, "(": 0, ")": 0}  # mod.rs:30-36
+
+
+def infix_to_postfix(query: str) -> list[str]:
+    """Shunting-yard with the reference's exact quirks (mod.rs:215-247)."""
+    res: list[str] = []
+    stack: list[str] = []
+    sanitized = query.replace("(", " ( ").replace(")", " ) ")
+    for t in sanitized.split():
+        if t == "(":
+            stack.append(t)
+        elif t == ")":
+            last = stack.pop()
+            while last != "(":
+                res.append(last)
+                last = stack.pop()
+        elif t in PRECEDENCE:
+            while stack and PRECEDENCE[stack[-1]] > PRECEDENCE[t]:
+                res.append(stack.pop())
+            stack.append(t)
+        else:
+            res.append(t)
+    res.extend(reversed(stack))
+    return res
+
+
+def _term_doc_ids(index, term: str) -> DataFrame:
+    """Spellcheck the verbatim operand, then fetch its sorted doc ids."""
+    spark = index.spark
+    corrected = index.driver_vocab().spellcheck_term(term)
+    if corrected is None:
+        return spark.range(0).select(F.col("id").cast("long").alias("doc_id"))
+    return (
+        index.postings.filter(F.col("term") == corrected)
+        .select(F.explode("doc_ids").alias("doc_id"))
+        .select(F.col("doc_id").cast("long"))
+    )
+
+
+def _not_operator(index, operand: DataFrame) -> DataFrame:
+    spark = index.spark
+    n = index.num_docs
+    if operand.limit(1).count() == 0:
+        # quirk: empty input -> 1..=n (postings.rs:179-181)
+        return spark.range(1, n + 1).select(F.col("id").alias("doc_id"))
+    universe = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    return universe.join(operand, "doc_id", "left_anti")
+
+
+def boolean_query(index, query: str) -> DataFrame:
+    """-> DataFrame (doc_id, url, score=1.0) ordered by doc_id."""
+    postfix = infix_to_postfix(query)
+    stack: list[DataFrame] = []
+    for p in postfix:
+        if p == "AND":
+            a, b = stack.pop(), stack.pop()
+            stack.append(a.intersect(b))
+        elif p == "OR":
+            a, b = stack.pop(), stack.pop()
+            stack.append(a.union(b).distinct())
+        elif p == "NOT":
+            stack.append(_not_operator(index, stack.pop()))
+        else:
+            stack.append(_term_doc_ids(index, p))
+    result = stack.pop()
+    return (
+        index.doc_lengths.join(result, "doc_id")
+        .select("doc_id", "url", F.lit(1.0).alias("score"))
+        .orderBy("doc_id")
+    )

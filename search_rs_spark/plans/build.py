@@ -1,0 +1,205 @@
+"""Index build pipeline: webtext -> inverted-index tables.
+
+Spark-first re-expression of the reference build
+(/root/reference/search/src/engine/builder.rs:44-130). The reference
+folds the whole corpus into RAM in one process; here every stage is a
+shuffle with a checkpointed parquet output:
+
+  doc_map      (url, doc_id)                      rank by url (B1/B5)
+  tokens       (doc_id, url, doc_len, tokens)     vectorized UDF (B3/B6)
+  stats        json: num_docs, avgdl, thresholds  (documents.rs:21-38)
+  doc_lengths  (doc_id, url, doc_len)             (B13)
+  term_doc     (term, doc_id, tf, doc_len, positions)   phase-1 agg (B7)
+  vocabulary   (term, term_id, df)                df filter + rank (B8/B9)
+  postings     (term_id, term, block_id, doc_ids, tfs, dls, positions,
+                df_block, block_max)              blocked posting lists (B10)
+
+Scale decisions:
+- doc_id / term_id are range-partitioned global ranks (plans/ranks.py),
+  never a single-partition window.
+- posting lists are stored BLOCKED by doc_id span (``block_id =
+  doc_id // block_span``): a head term ("the", df≈N) becomes N/span
+  bounded rows instead of one unboundable array row — this is the
+  explicit skew handling for the term-major merge, and the blocks
+  carry the per-block max score used by block-max WAND pruning.
+- ``doc_len`` is denormalized into the postings (dls) so BM25 scoring
+  needs no query-time join against doc_lengths.
+- phase-1 aggregation (term, doc_id) is skew-free by construction
+  (bounded by document length); the term-major shuffle that the
+  reference does in a RAM hashmap is the (term, block) groupBy, whose
+  keys are bounded by block_span.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokens_udf
+from .checkpoint import StageRunner, fingerprint
+from .ranks import with_global_rank
+
+BM25_K1 = 1.2  # mod.rs:27
+BM25_B = 0.75  # mod.rs:28
+DEFAULT_BLOCK_SPAN = 4096
+
+
+def build_index(
+    spark: SparkSession,
+    webtext: DataFrame,
+    out_dir: str,
+    min_f: int = 0,
+    max_p: float = 1.0,
+    stem: bool = True,
+    lang: str | None = None,
+    block_span: int = DEFAULT_BLOCK_SPAN,
+    resume: bool = True,
+    corpus_fingerprint: str | None = None,
+) -> "list[dict]":
+    """Build all index tables under ``out_dir``; returns stage metrics.
+
+    ``min_f``/``max_p`` follow builder.rs:115-123: keep term iff
+    ``df <= floor(num_docs * max_p) && df > min_f``.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    corpus = webtext.filter(F.col("text").isNotNull())
+    if lang is not None:
+        corpus = corpus.filter(F.col("lang") == lang)
+
+    if corpus_fingerprint is None:
+        corpus_fingerprint = str(corpus.count())
+    fp = fingerprint(
+        {
+            "corpus": corpus_fingerprint,
+            "min_f": min_f,
+            "max_p": max_p,
+            "stem": stem,
+            "lang": lang,
+            "block_span": block_span,
+            "layout": 2,
+        }
+    )
+    runner = StageRunner(spark, out_dir, fp, resume=resume)
+
+    # -- doc_map: deterministic dense doc ids by url order (B5) -------------
+    doc_map = runner.run("doc_map", lambda: with_global_rank(corpus.select("url"), "url", "doc_id"))
+
+    # -- tokens: one tokenize pass, materialized (B3/B6) --------------------
+    def make_tokens():
+        toks = corpus.join(doc_map, "url").select(
+            "doc_id", "url", tokens_udf(stem)(F.col("text")).alias("tokens")
+        )
+        return (
+            toks.withColumn("doc_len", F.size("tokens"))
+            .repartitionByRange(
+                int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "doc_id"
+            )
+            .sortWithinPartitions("doc_id")
+        )
+
+    tokens = runner.run("tokens", make_tokens)
+
+    # -- stats ---------------------------------------------------------------
+    if runner.is_done("stats"):
+        stats = runner.read_json("stats")
+    else:
+        agg = tokens.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("total_len")
+        ).collect()[0]
+        num_docs = agg["n"]
+        total_len = agg["total_len"] or 0
+        stats = {
+            "num_docs": int(num_docs),
+            "avgdl": (float(total_len) / num_docs) if num_docs else 0.0,
+            "min_f": min_f,
+            "max_p": max_p,
+            "stem": stem,
+            "block_span": block_span,
+            # builder.rs:115 — note the integer truncation (`as u32`)
+            "df_threshold": int(num_docs * max_p),
+        }
+        runner.write_json("stats", stats)
+
+    # -- doc_lengths ----------------------------------------------------------
+    runner.run(
+        "doc_lengths", lambda: tokens.select("doc_id", "url", "doc_len")
+    )
+
+    # -- term_doc: phase-1 aggregation (B7) -----------------------------------
+    def make_term_doc():
+        exploded = tokens.select(
+            "doc_id", "doc_len", F.posexplode("tokens").alias("pos", "term")
+        )
+        return (
+            exploded.groupBy("term", "doc_id", "doc_len")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+            .repartitionByRange(
+                int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                "term",
+                "doc_id",
+            )
+            .sortWithinPartitions("term", "doc_id")
+        )
+
+    term_doc = runner.run("term_doc", make_term_doc)
+
+    # -- vocabulary: df filter + sorted rank (B8/B9) ---------------------------
+    def make_vocab():
+        dfc = term_doc.groupBy("term").agg(F.count(F.lit(1)).cast("int").alias("df"))
+        kept = dfc.filter(
+            (F.col("df") <= F.lit(stats["df_threshold"])) & (F.col("df") > F.lit(min_f))
+        )
+        return with_global_rank(kept, "term", "term_id").select("term", "term_id", "df")
+
+    vocab = runner.run("vocabulary", make_vocab)
+
+    # -- postings: blocked, skew-safe term-major layout (B10) ------------------
+    def make_postings():
+        avgdl = stats["avgdl"] or 1.0
+        kept = term_doc.join(vocab.select("term", "term_id", "df"), "term")
+        blocked = kept.withColumn(
+            "block_id", (F.col("doc_id") / block_span).cast("long")
+        )
+        grouped = blocked.groupBy("term_id", "term", "df", "block_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "doc_len", "positions"))
+            ).alias("plist")
+        )
+        return grouped.select(
+            "term_id",
+            "term",
+            "df",
+            "block_id",
+            F.expr("transform(plist, x -> x.doc_id)").alias("doc_ids"),
+            F.expr("transform(plist, x -> x.tf)").alias("tfs"),
+            F.expr("transform(plist, x -> x.doc_len)").alias("dls"),
+            F.expr("transform(plist, x -> x.positions)").alias("positions"),
+            F.size("plist").alias("df_block"),
+            F.array_max(
+                F.transform(F.col("plist"), lambda e: norm_expr(e, avgdl))
+            ).alias("block_max"),
+        ).repartitionByRange(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            "term",
+            "block_id",
+        ).sortWithinPartitions("term", "block_id")
+
+    def norm_expr(e, avgdl):
+        # per-posting BM25 contribution bound (idf excluded; the final
+        # /doc_len renormalization of mod.rs:186 is folded in)
+        tf = e["tf"].cast("double")
+        dl = e["doc_len"].cast("double")
+        return (
+            tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+        ) / dl
+
+    runner.run("postings", make_postings)
+
+    return runner.metrics

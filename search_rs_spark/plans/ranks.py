@@ -1,0 +1,73 @@
+"""Scalable deterministic global ranking (dense 0-based ids).
+
+The reference assigns doc_ids by a single-process sorted directory walk
+(/root/reference/search/src/engine/builder.rs:66,112) and term_ids by a
+BTreeMap's sorted order (builder.rs:117-123). The Spark equivalent must
+NOT be a global single-partition ``row_number() OVER (ORDER BY x)`` —
+that serializes the whole table through one task at scale. Instead:
+
+1. ``repartitionByRange`` on the order key (disjoint sorted ranges),
+2. a narrow per-partition index via ``mapInPandas``,
+3. per-partition offsets = prefix sums of partition counts (a tiny
+   P-row aggregate, broadcast-joined back).
+
+The resulting rank equals the global sort rank regardless of partition
+boundaries, so the output is identical at any parallelism level
+(requires the order key to be unique, which holds for urls and terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_col: str,
+    rank_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a dense 0-based global rank by ``order_col`` (must be unique)."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    parted = df.repartitionByRange(num_partitions, F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("_pid", T.IntegerType(), False),
+            T.StructField("_local_idx", T.LongType(), False),
+        ]
+    )
+
+    def add_local(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        offset = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["_pid"] = pid
+            pdf["_local_idx"] = range(offset, offset + len(pdf))
+            offset += len(pdf)
+            yield pdf
+
+    indexed = parted.mapInPandas(add_local, schema=out_schema)
+
+    counts = indexed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+    ).select("_pid", "_offset")
+
+    return (
+        indexed.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_offset") + F.col("_local_idx")).cast("long"))
+        .drop("_pid", "_local_idx", "_offset")
+    )
