@@ -1,38 +1,152 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build the inverted index over the sf0.001
+corpus (documents.parquet adapted to the webtext shape) and run the
+full stemmed BM25+window free-text query.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family (SURVEY.md §2 + training-data ops). SQL-expressible operators
+use the no-stem tokenizer so DuckDB computes identical values; the
+stemmed full engine, window score, multimodal plumbing, and LSH-ANN
+are rows-only checks (no oracle_sql entry) and are instead pinned by
+pytest against the pure-Python reference oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vec(sf_dir: str) -> list[float]:
+    import duckdb
+
+    row = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' WHERE vec_id = 0"
+    ).fetchone()
+    return [float(x) for x in row[0]]
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    from search_rs_spark.plans.build import build_index
+    from search_rs_spark.plans.index import SearchIndex
+    from search_rs_spark.session import ensure_workers_can_import
+    from search_rs_spark.sources.webtext import webtext_from_documents
+
+    if sf_dir not in _INDEX_CACHE:
+        ensure_workers_can_import(spark)
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "srs_index_" + sf_dir.strip("/").replace("/", "_"),
+        )
+        build_index(
+            spark,
+            webtext_from_documents(spark, sf_dir),
+            out,
+            min_f=0,
+            max_p=1.0,
+            corpus_fingerprint=f"documents:{sf_dir}",
+        )
+        _INDEX_CACHE[sf_dir] = SearchIndex.load(spark, out)
+    return _INDEX_CACHE[sf_dir]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full stemmed BM25 + window-score top-k over sf0.001."""
+    from search_rs_spark.operators.bm25 import free_query
+
+    idx = _index(spark, "/root/testdata/sf0.001")
+    return free_query(idx, "spark data query performance", k=50)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from search_rs_spark.functions import text_analysis as ta
+    from search_rs_spark.operators import dedup, similarity, sql_parity as sp
+    from search_rs_spark.operators.bm25 import free_query
+    from search_rs_spark.operators.boolean import boolean_query
+    from search_rs_spark.operators.multimodal import decode_metadata, fake_assets
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # core engine dataflow (no-stem, SQL-checkable)
+    q["core_doc_lengths"] = lambda s, d: sp.doc_lengths(_docs(s, d))
+    q["core_term_df"] = lambda s, d: sp.term_df(_docs(s, d))
+    q["core_vocabulary"] = lambda s, d: sp.vocabulary(_docs(s, d))
+    q["core_postings_stats"] = lambda s, d: sp.postings_stats(_docs(s, d))
+    q["core_bm25_topk"] = lambda s, d: sp.bm25_topk(_docs(s, d))
+    q["core_boolean"] = lambda s, d: sp.boolean_containment(_docs(s, d))
+
+    # full engine (stemmed + window + spellcheck): rows-only checks
+    q["engine_free_query"] = lambda s, d: free_query(
+        _index(s, d), "spark data query performance", k=50
+    )
+    q["engine_boolean_query"] = lambda s, d: boolean_query(
+        _index(s, d), "data AND query AND NOT join"
+    )
+
+    # text analysis
+    q["ta_token_counts"] = lambda s, d: ta.token_counts(_docs(s, d))
+    q["ta_lang_id"] = lambda s, d: ta.lang_id(_docs(s, d))
+    q["ta_quality"] = lambda s, d: ta.quality_scores(_docs(s, d))
+    q["ta_fingerprints"] = lambda s, d: ta.fingerprints(_docs(s, d))
+
+    # deduplication
+    q["dd_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
+    q["dd_minhash_sig"] = lambda s, d: dedup.minhash_signatures(_docs(s, d))
+    q["dd_lsh_pairs"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
+    q["dd_simhash"] = lambda s, d: dedup.simhash_signatures(_docs(s, d))
+
+    # similarity search
+    q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk_bruteforce(
+        _emb(s, d), _query_vec(d), k=10, exclude_vec_id=0
+    )
+    q["sim_cosine_pairs"] = lambda s, d: similarity.cosine_pairs(_emb(s, d))
+    q["sim_lsh_topk"] = lambda s, d: similarity.lsh_bucketed_topk(
+        _emb(s, d), _query_vec(d), k=10, exclude_vec_id=0
+    )
+
+    # multimodal plumbing (stub decode; rows-only)
+    q["mm_decode_metadata"] = lambda s, d: decode_metadata(fake_assets(s, 500))
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from search_rs_spark.functions import text_analysis as ta
+    from search_rs_spark.operators import dedup, similarity, sql_parity as sp
+
+    qv = _query_vec("/root/testdata/sf0.01")
+    return {
+        "core_doc_lengths": sp.DOC_LENGTHS_SQL,
+        "core_term_df": sp.TERM_DF_SQL,
+        "core_vocabulary": sp.VOCABULARY_SQL,
+        "core_postings_stats": sp.POSTINGS_STATS_SQL,
+        "core_bm25_topk": sp.bm25_topk_sql(),
+        "core_boolean": sp.BOOLEAN_SQL,
+        "ta_token_counts": ta.TOKEN_COUNTS_SQL,
+        "ta_lang_id": ta.lang_id_sql(),
+        "ta_quality": ta.QUALITY_SQL,
+        "ta_fingerprints": ta.FINGERPRINTS_SQL,
+        "dd_exact": dedup.EXACT_DEDUP_SQL,
+        "dd_minhash_sig": dedup.minhash_signatures_sql(),
+        "dd_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
+        "dd_simhash": dedup.simhash_signatures_sql(),
+        "sim_cosine_topk": similarity.cosine_topk_sql(qv, k=10, exclude_vec_id=0),
+        "sim_cosine_pairs": similarity.cosine_pairs_sql(),
+    }

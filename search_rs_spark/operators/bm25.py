@@ -49,14 +49,22 @@ def resolve_query_terms(index, query: str) -> list[tuple[int, str, int]]:
     return out
 
 
-def scored_hits(index, terms: list[tuple[int, str, int]]) -> DataFrame:
-    """Per-(doc, qid) exploded hits with bm25 contribution columns."""
+def scored_hits(
+    index, terms: list[tuple[int, str, int]], block_ids: list[int] | None = None
+) -> DataFrame:
+    """Per-(doc, qid) exploded hits with bm25 contribution columns.
+
+    ``block_ids`` restricts to the given posting blocks BEFORE the
+    arrays are exploded (block-max WAND's pruned exact pass)."""
     spark = index.spark
     qdf = spark.createDataFrame(
         [(qid, term, float(index.idf(df))) for qid, term, df in terms],
         ["qid", "term", "idf"],
     )
-    hits = index.postings.join(F.broadcast(qdf), "term")
+    postings = index.postings
+    if block_ids is not None:
+        postings = postings.filter(F.col("block_id").isin(block_ids))
+    hits = postings.join(F.broadcast(qdf), "term")
     avgdl = index.avgdl or 1.0
 
     e = hits.select(

@@ -1,0 +1,263 @@
+"""Deduplication operators for training-data pipelines.
+
+All hash material derives from ``md5`` over strings so the Spark
+implementation and the DuckDB oracle compute identical values (native
+hash functions differ between engines). Lexicographic MIN over md5 hex
+digests is a valid uniform min-hash.
+
+Scale notes: exact dedup is a single hash-keyed aggregation;
+MinHash-LSH is shingle-explode -> per-(doc,hash) min -> band explode ->
+band-bucket self-join (candidates only) -> exact-Jaccard verify, i.e.
+candidate generation never goes quadratic; SimHash is a fixed-width
+signature per doc (bit-majority over token hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_analysis import DUCK_TOKENS, SPARK_TOKENS
+
+SHINGLE_K = 3
+MINHASH_H = 8  # hash functions
+MINHASH_BANDS = 4  # -> rows per band r = H / BANDS = 2
+JACCARD_THRESHOLD = 0.5
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, text_hash, group_n, keep_doc_id, is_duplicate)."""
+    h = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    g = h.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("group_n"), F.min("doc_id").alias("keep_doc_id")
+    )
+    return h.join(g, "text_hash").select(
+        "doc_id",
+        "text_hash",
+        "group_n",
+        "keep_doc_id",
+        (F.col("doc_id") != F.col("keep_doc_id")).alias("is_duplicate"),
+    )
+
+
+EXACT_DEDUP_SQL = """
+WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+g AS (SELECT text_hash, count(*) AS group_n, min(doc_id) AS keep_doc_id
+      FROM h GROUP BY text_hash)
+SELECT h.doc_id, h.text_hash, g.group_n, g.keep_doc_id,
+       h.doc_id <> g.keep_doc_id AS is_duplicate
+FROM h JOIN g USING (text_hash)
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash signatures
+# ---------------------------------------------------------------------------
+
+
+def _spark_shingles(k: int = SHINGLE_K) -> str:
+    """distinct k-token shingles as strings (SQL expression)."""
+    return (
+        f"array_distinct(CASE WHEN size({SPARK_TOKENS}) >= {k} THEN "
+        f"transform(sequence(1, size({SPARK_TOKENS}) - {k} + 1), "
+        f"i -> concat_ws(' ', slice({SPARK_TOKENS}, i, {k}))) "
+        f"ELSE {SPARK_TOKENS} END)"
+    )
+
+
+def _duck_shingles(k: int = SHINGLE_K) -> str:
+    t = DUCK_TOKENS
+    return (
+        f"list_distinct(CASE WHEN len({t}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({t}) - {k} + 1), "
+        f"i -> array_to_string({t}[i:i+{k - 1}], ' ')) "
+        f"ELSE {t} END)"
+    )
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.expr(_spark_shingles()).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+
+
+def _mh_fn(j: int):
+    # NB: must be a 1-arg lambda — pyspark's transform() treats a second
+    # lambda parameter as the array index
+    return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+
+def _with_sig(sh: DataFrame, h: int = MINHASH_H) -> DataFrame:
+    sig_cols = [
+        F.array_min(F.transform(F.col("shingles"), _mh_fn(j))).alias(f"mh{j}")
+        for j in range(h)
+    ]
+    return sh.select("doc_id", "shingles", F.array(*sig_cols).alias("sig"))
+
+
+def minhash_signatures(docs: DataFrame, h: int = MINHASH_H) -> DataFrame:
+    """(doc_id, sig): sig[j] = min over shingles of md5('j:'||shingle)."""
+    return _with_sig(_shingled(docs), h).select("doc_id", "sig")
+
+
+def minhash_signatures_sql(h: int = MINHASH_H) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))" for j in range(h)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id, {_duck_shingles()} AS shingles FROM documents)
+SELECT doc_id, [{mins}] AS sig FROM sh WHERE len(shingles) > 0
+"""
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    h: int = MINHASH_H,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): near-dup pairs via banded LSH candidates
+    verified with exact Jaccard over distinct shingles."""
+    r = h // bands
+    sh = _shingled(docs)
+    sigs = _with_sig(sh, h)
+    # slim band table: the self-join ships no shingle arrays
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("sig")[b * r + i] for i in range(r)]
+                            )
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_sig")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # attach shingle sets only for the (few) candidate pairs
+    with_sets = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
+    )
+    jac = with_sets.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+            6,
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_pairs_sql(
+    h: int = MINHASH_H, bands: int = MINHASH_BANDS, threshold: float = JACCARD_THRESHOLD
+) -> str:
+    r = h // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, shingles, {b} AS band, md5({parts}) AS band_sig FROM s2".format(
+            b=b, parts=" || '|' || ".join(f"sig[{b * r + i + 1}]" for i in range(r))
+        )
+        for b in range(bands)
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))" for j in range(h)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_duck_shingles()} AS shingles FROM documents
+), s2 AS (
+  SELECT doc_id, shingles, [{mins}] AS sig FROM sh WHERE len(shingles) > 0
+), banded AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.shingles AS sh_a, b.shingles AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sh_a, sh_b))::DOUBLE
+             / len(list_distinct(sh_a || sh_b)), 6) AS jaccard
+FROM cand
+WHERE len(list_intersect(sh_a, sh_b))::DOUBLE / len(list_distinct(sh_a || sh_b))
+      >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-dim md5-nibble variant, engine-portable)
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-char bitstring; bit d = majority vote of the
+    high bit of md5(token) hex nibble d, weighted by term frequency."""
+    t = F.expr(SPARK_TOKENS)
+    toks = docs.select("doc_id", F.explode(t).alias("tok"))
+    weighted = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    hashed = weighted.select(
+        "doc_id", "tf", F.md5("tok").alias("h")
+    )
+    bit_cols = []
+    for d in range(32):
+        nib_high = F.substring("h", d + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+        bit_cols.append(
+            F.sum(F.when(nib_high, F.col("tf")).otherwise(-F.col("tf"))).alias(f"s{d}")
+        )
+    agg = hashed.groupBy("doc_id").agg(*bit_cols)
+    sig = F.concat(
+        *[F.when(F.col(f"s{d}") > 0, F.lit("1")).otherwise(F.lit("0")) for d in range(32)]
+    )
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_signatures_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(h, {d + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN tf ELSE -tf END) AS s{d}"
+        for d in range(32)
+    )
+    bits = " || ".join(
+        f"CASE WHEN s{d} > 0 THEN '1' ELSE '0' END" for d in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS tok FROM documents
+), w AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), h AS (
+  SELECT doc_id, tf, md5(tok) AS h FROM w
+), s AS (
+  SELECT doc_id, {sums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, {bits} AS simhash FROM s
+"""

@@ -1,0 +1,202 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk_bruteforce` — exact top-k cosine against one query
+  vector; the baseline. JVM-side arithmetic via ``zip_with`` +
+  ``aggregate`` (no Python in the hot path); the query vector is a
+  literal folded into the plan, the scan is a single pass + top-k
+  (TakeOrderedAndProject), no shuffle beyond the final k.
+- :func:`cosine_pairs` — all pairs above a cosine threshold within a
+  vec_id window (used as the embedding near-dup detector).
+- :func:`lsh_bucketed_topk` — the scale path: sign-of-projection LSH
+  buckets against deterministic hyperplanes derived from md5 (so both
+  engines could reproduce them), probe only the query's bucket ± 1-bit
+  neighbors. Approximate; tested for recall against brute force.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame, query_vec: list[float], k: int = 10, exclude_vec_id: int | None = None
+) -> DataFrame:
+    """(vec_id, label, cos) — exact top-k by (cos desc, vec_id asc)."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    d = emb
+    if exclude_vec_id is not None:
+        d = d.filter(F.col("vec_id") != exclude_vec_id)
+    scored = d.select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("embedding"), qlit) / (_norm(F.col("embedding")) * F.lit(qn)), 6
+        ).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def cosine_topk_sql(query_vec: list[float], k: int = 10, exclude_vec_id: int = 0) -> str:
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qlist = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
+    return f"""
+WITH q AS (SELECT {qlist}::DOUBLE[] AS qv),
+s AS (
+  SELECT vec_id, label,
+         round(
+           list_sum(list_transform(list_zip(embedding::DOUBLE[], qv),
+                                   p -> p[1] * p[2]))
+           / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+              * {qn!r}), 6) AS cos
+  FROM embeddings, q
+  WHERE vec_id <> {exclude_vec_id}
+)
+SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def cosine_pairs(
+    emb: DataFrame, threshold: float = 0.95, max_vec_id: int | None = 300
+) -> DataFrame:
+    """(vec_a, vec_b, cos): embedding near-dup pairs above threshold."""
+    d = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    if max_vec_id is not None:
+        d = d.filter(F.col("vec_id") < max_vec_id)
+    d = d.withColumn("n", _norm(F.col("v")))
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def cosine_pairs_sql(threshold: float = 0.95, max_vec_id: int = 300) -> str:
+    return f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS n
+  FROM embeddings WHERE vec_id < {max_vec_id}
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+             / (a.n * b.n), 6) AS cos
+FROM d a JOIN d b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+            / (a.n * b.n), 6) >= {threshold}
+"""
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from md5 bytes."""
+    planes = []
+    for p in range(n_planes):
+        vals: list[float] = []
+        j = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"{seed}:{p}:{j}".encode()).digest()
+            for off in range(0, 16, 2):
+                if len(vals) >= dim:
+                    break
+                u = int.from_bytes(h[off : off + 2], "big") / 65535.0
+                vals.append(2.0 * u - 1.0)
+            j += 1
+        n = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / n for v in vals])
+    return planes
+
+
+def lsh_bucket_expr(col, planes: list[list[float]]):
+    """Bitstring bucket id: sign of projection onto each hyperplane."""
+    bits = [
+        F.when(_dot(col, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    probe_bits: int = 2,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: multiprobe the query's LSH bucket and every
+    bucket within ``probe_bits`` Hamming distance. At scale the bucket
+    id is a partition key, so a probe reads only the probed buckets'
+    partitions; raise ``n_planes`` as the corpus grows to keep the
+    probed fraction ~constant."""
+    import itertools
+
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes)
+
+    def bucket_of(vec: list[float]) -> str:
+        bits = ""
+        for plane in planes:
+            bits += "1" if sum(p * float(v) for p, v in zip(plane, vec)) >= 0 else "0"
+        return bits
+
+    qb = bucket_of(query_vec)
+    probe = {qb}
+    for r in range(1, probe_bits + 1):
+        for flips in itertools.combinations(range(n_planes), r):
+            b = list(qb)
+            for i in flips:
+                b[i] = "0" if b[i] == "1" else "1"
+            probe.add("".join(b))
+
+    bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    cand = bucketed.filter(F.col("bucket").isin(*sorted(probe)))
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("embedding"), qlit) / (_norm(F.col("embedding")) * F.lit(qn)),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

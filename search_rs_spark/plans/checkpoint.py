@@ -74,8 +74,14 @@ class StageRunner:
         elapsed = time.time() - t0
 
         written = self.spark.read.parquet(target)
-        n_rows = written.count()
-        n_files = len([f for f in os.listdir(target) if f.endswith(".parquet")])
+        # row count from parquet footers (no Spark job)
+        import pyarrow.parquet as pq
+
+        files = [f for f in os.listdir(target) if f.endswith(".parquet")]
+        n_rows = sum(
+            pq.ParquetFile(os.path.join(target, f)).metadata.num_rows for f in files
+        )
+        n_files = len(files)
         manifest = {
             "stage": stage,
             "fingerprint": self.build_fingerprint,

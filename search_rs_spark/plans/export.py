@@ -1,0 +1,237 @@
+"""Export the index tables to the reference's on-disk binary format.
+
+Produces the four files of a search-rs index (README.md:108-122):
+``idx.postings`` / ``idx.offsets`` / ``idx.alphas`` / ``idx.docs``,
+bit-compatible with the reference writers:
+
+- postings stream (postings.rs:41-79): per term in sorted-term order,
+  ``vbyte(n_docs) | (gamma(doc_gap), gamma(tf), vbyte(n_pos),
+  gamma(pos_gap)*)*`` — bit-contiguous across terms;
+- offsets (postings.rs:48-55): ``vbyte(num_terms) |
+  gamma(bit_offset_delta)*``;
+- alphas (vocabulary.rs:16-42): ``vbyte(num_terms) | (gamma(prefix_len),
+  str(suffix))* | vbyte(df)*`` with front-coded sorted terms.
+  DIVERGENCE (deliberate): the reference writes the df block in
+  first-occurrence order, misaligning df lookups (SURVEY.md §1.4);
+  we write each term's own df in sorted order — the intended
+  semantics, asserted by tests;
+- docs (documents.rs:42-60): ``vbyte(n) | (gamma(prefix_len),
+  str(suffix), vbyte(doc_len))*`` with front-coded paths/urls.
+
+The per-term encode runs distributed (Arrow-batched pandas over the
+postings table); the final bit-level stitch is a streaming driver pass
+in term order — the same single-file bottleneck the reference has, kept
+out of the query path (tables remain the source of truth; this is an
+interchange/export surface).
+
+All files end with the reference's trailing padding: data padded to a
+16-byte block plus one extra zeroed 16-byte block (bits_writer.rs:91-100
+flush writes the final buffer then an empty one).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.codecs import BitWriter, encode_postings_with_bitlen
+
+
+def _common_prefix_len(a: str, b: str) -> int:
+    n = min(len(a), len(b))
+    i = 0
+    while i < n and a[i] == b[i]:
+        i += 1
+    return i
+
+
+def _finalize(w: BitWriter) -> bytes:
+    data = w.to_bytes(pad_to=16)
+    if w.bit_len % (16 * 8) == 0:
+        # flush() writes the (possibly empty) current buffer: when the
+        # data ends exactly on a block boundary the extra block is the
+        # only trailing one
+        return data + b"\x00" * 16
+    return data + b"\x00" * 16
+
+
+_ENC_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+        T.StructField("bit_len", T.LongType(), False),
+        T.StructField("df", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+    ]
+)
+
+
+def export_reference_index(index, out_prefix: str) -> dict:
+    """Write idx.{postings,offsets,alphas,docs}; returns file stats."""
+    os.makedirs(os.path.dirname(out_prefix) or ".", exist_ok=True)
+
+    # term-major posting lists (merge blocks back per term, doc_id order)
+    merged = (
+        index.postings.groupBy("term_id", "term", "df")
+        .agg(
+            F.flatten(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(block_id, doc_ids))), x -> x.doc_ids)"
+                )
+            ).alias("doc_ids"),
+            F.flatten(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(block_id, tfs))), x -> x.tfs)"
+                )
+            ).alias("tfs"),
+            F.flatten(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(block_id, positions))), x -> x.positions)"
+                )
+            ).alias("positions"),
+        )
+    )
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"term_id": [], "blob": [], "bit_len": [], "df": [], "term": []}
+            for row in pdf.itertuples(index=False):
+                blob, bits = encode_postings_with_bitlen(
+                    list(row.doc_ids),
+                    list(row.tfs),
+                    [list(p) for p in row.positions],
+                )
+                out["term_id"].append(row.term_id)
+                out["blob"].append(blob)
+                out["bit_len"].append(bits)
+                out["df"].append(int(row.df))
+                out["term"].append(row.term)
+            yield pd.DataFrame(out)
+
+    encoded = (
+        merged.repartitionByRange(
+            int(index.spark.conf.get("spark.sql.shuffle.partitions", "32")), "term_id"
+        )
+        .mapInPandas(encode, schema=_ENC_SCHEMA)
+        .orderBy("term_id")
+        .collect()
+    )
+
+    # --- idx.postings + idx.offsets (bit-level stitch in term order) -------
+    pw = BitWriter()
+    ow = BitWriter()
+    ow.write_vbyte(len(encoded))
+    offset = 0
+    prev_offset = 0
+    for r in encoded:
+        ow.write_gamma(offset - prev_offset)
+        prev_offset = offset
+        blob_int = int.from_bytes(bytes(r["blob"]), "little")
+        pw.write_bits(blob_int & ((1 << r["bit_len"]) - 1), r["bit_len"])
+        offset += r["bit_len"]
+    with open(out_prefix + ".postings", "wb") as f:
+        f.write(_finalize(pw))
+    with open(out_prefix + ".offsets", "wb") as f:
+        f.write(_finalize(ow))
+
+    # --- idx.alphas ---------------------------------------------------------
+    aw = BitWriter()
+    aw.write_vbyte(len(encoded))
+    prev = ""
+    for r in encoded:
+        term = r["term"]
+        p = _common_prefix_len(prev, term)
+        aw.write_gamma(p)
+        aw.write_str(term[p:])
+        prev = term
+    for r in encoded:
+        aw.write_vbyte(int(r["df"]))
+    with open(out_prefix + ".alphas", "wb") as f:
+        f.write(_finalize(aw))
+
+    # --- idx.docs -----------------------------------------------------------
+    docs = index.doc_lengths.orderBy("doc_id").collect()
+    dw = BitWriter()
+    dw.write_vbyte(len(docs))
+    prev = ""
+    for r in docs:
+        url = r["url"]
+        p = _common_prefix_len(prev, url)
+        dw.write_gamma(p)
+        dw.write_str(url[p:])
+        dw.write_vbyte(int(r["doc_len"]))
+        prev = url
+    with open(out_prefix + ".docs", "wb") as f:
+        f.write(_finalize(dw))
+
+    return {
+        "terms": len(encoded),
+        "docs": len(docs),
+        "postings_bytes": os.path.getsize(out_prefix + ".postings"),
+        "offsets_bytes": os.path.getsize(out_prefix + ".offsets"),
+        "alphas_bytes": os.path.getsize(out_prefix + ".alphas"),
+        "docs_bytes": os.path.getsize(out_prefix + ".docs"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Reader (pure Python) — decodes the exported files for roundtrip tests
+# ---------------------------------------------------------------------------
+
+
+def load_reference_index(prefix: str) -> dict:
+    from ..functions.codecs import BitReader
+
+    with open(prefix + ".offsets", "rb") as f:
+        ro = BitReader(f.read())
+    num_terms = ro.read_vbyte()
+    offsets = []
+    cur = 0
+    for _ in range(num_terms):
+        cur += ro.read_gamma()
+        offsets.append(cur)
+
+    with open(prefix + ".postings", "rb") as f:
+        rp = BitReader(f.read())
+    postings = []
+    for off in offsets:
+        rp.seek(off)
+        n = rp.read_vbyte()
+        doc = 0
+        plist = []
+        for _ in range(n):
+            doc += rp.read_gamma()
+            tf = rp.read_gamma()
+            pos = rp.read_gamma_gap_vector()
+            plist.append((doc, tf, pos))
+        postings.append(plist)
+
+    with open(prefix + ".alphas", "rb") as f:
+        ra = BitReader(f.read())
+    n = ra.read_vbyte()
+    terms = []
+    prev = ""
+    for _ in range(n):
+        p = ra.read_gamma()
+        term = prev[:p] + ra.read_str()
+        terms.append(term)
+        prev = term
+    dfs = [ra.read_vbyte() for _ in range(n)]
+
+    with open(prefix + ".docs", "rb") as f:
+        rd = BitReader(f.read())
+    nd = rd.read_vbyte()
+    docs = []
+    prev = ""
+    for _ in range(nd):
+        p = rd.read_gamma()
+        url = prev[:p] + rd.read_str()
+        dl = rd.read_vbyte()
+        docs.append((url, dl))
+        prev = url
+
+    return {"terms": terms, "dfs": dfs, "postings": postings, "docs": docs}

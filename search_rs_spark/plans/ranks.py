@@ -59,6 +59,9 @@ def with_global_rank(
             yield pdf
 
     indexed = parted.mapInPandas(add_local, schema=out_schema)
+    # the offsets aggregate and the final join both consume `indexed`;
+    # persist so the upstream sort/scan runs once
+    indexed = indexed.persist()
 
     counts = indexed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -13,6 +13,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers of an already-running
+    session (the spark-submit --py-files equivalent when we didn't create
+    the session ourselves, e.g. under the driver harness)."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", "search_rs_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added
+
+
 def get_spark(
     cores: int | None = None,
     app: str = "search_rs_spark",

@@ -1,0 +1,110 @@
+"""Mimics the driver gate: every queries() entry runs on Spark and its
+oracle_sql() runs on DuckDB over the same sf0.01 parquet; row counts,
+column names, and values must match exactly (order-insensitive)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _normalize(rows, cols):
+    import numpy as np
+
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, np.generic):
+                v = v.item()
+            if isinstance(v, float):
+                v = round(v, 9)
+            if isinstance(v, (list, tuple, np.ndarray)):
+                v = tuple(
+                    round(x, 9) if isinstance(x, float) else x for x in list(v)
+                )
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, duck, name):
+    qfn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+
+    sdf = qfn(spark, SF_DIR)
+    scols = sorted(sdf.columns)
+    srows = [r.asDict() for r in sdf.collect()]
+
+    ddf = duck.sql(sql).df()
+    dcols = sorted(ddf.columns)
+    assert scols == dcols, f"{name}: column mismatch {scols} vs {dcols}"
+
+    drows = ddf.to_dict("records")
+    assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
+
+    a = _normalize(srows, scols)
+    b = _normalize(drows, dcols)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: first mismatch {mismatches[0]}"
+
+
+ROWS_ONLY = ["engine_free_query", "engine_boolean_query", "mm_decode_metadata", "sim_lsh_topk"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    qfn = entrymod.queries()[name]
+    df = qfn(spark, SF_DIR)
+    assert df.count() > 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"doc_id", "url", "score"} <= set(df.columns)
+
+
+def test_lsh_topk_recall(spark):
+    """LSH-ANN must find most of the brute-force top-10."""
+    from search_rs_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = entrymod._query_vec(SF_DIR)
+    exact = {r["vec_id"] for r in cosine_topk_bruteforce(emb, qv, 10, 0).collect()}
+    approx = {r["vec_id"] for r in lsh_bucketed_topk(emb, qv, 10, exclude_vec_id=0).collect()}
+    assert len(exact & approx) >= 5, (exact, approx)

@@ -1,0 +1,50 @@
+"""Streaming ingest must converge to the same index inputs as batch."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from search_rs_spark.sources.webtext import synthesize_webtext
+from search_rs_spark.streaming.ingest import finalize_deltas, start_ingest
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    wt = synthesize_webtext(spark, 60, seed=21, vocab_size=100, mean_len=20)
+    in_dir = str(tmp_path / "in")
+    # two separate file drops -> at least two stream inputs
+    wt.filter(F.col("url") < "https://example.org/21/000000000030").write.parquet(
+        in_dir, mode="append"
+    )
+    wt.filter(F.col("url") >= "https://example.org/21/000000000030").write.parquet(
+        in_dir, mode="append"
+    )
+
+    delta = str(tmp_path / "delta")
+    q = start_ingest(spark, in_dir, delta, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    out = finalize_deltas(spark, delta)
+
+    # batch equivalent
+    from search_rs_spark.functions.tokenizer import tokens_udf
+
+    corpus = wt.filter(F.col("text").isNotNull())
+    toks = corpus.select("url", tokens_udf(True)(F.col("text")).alias("tokens"))
+    batch_lens = {
+        r["url"]: r["dl"]
+        for r in toks.select("url", F.size("tokens").alias("dl")).collect()
+    }
+    stream_lens = {r["url"]: r["doc_len"] for r in out["doc_lengths"].collect()}
+    assert stream_lens == batch_lens
+
+    batch_td = (
+        corpus.select("url", F.posexplode(tokens_udf(True)(F.col("text"))).alias("pos", "term"))
+        .groupBy("url", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    b = {(r["url"], r["term"]): r["tf"] for r in batch_td.collect()}
+    joined = out["term_doc"].join(
+        out["doc_lengths"].select("doc_id", "url"), "doc_id"
+    )
+    s = {(r["url"], r["term"]): r["tf"] for r in joined.collect()}
+    assert s == b
