@@ -118,8 +118,33 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Same build at local[8] vs local[32]; efficiency = (T8/T32)/4."""
+    """Same index build at local[8] vs local[32] over the same
+    materialized corpus; throughput scaling efficiency = (T8/T32)/4.
+
+    The driver testdata at sf<=0.1 is too small for parallel scaling to
+    be observable (fixed JVM/stage overhead dominates), so the scaling
+    corpus is a larger deterministic synthetic webtext table
+    (SPARK_GRAFT_SCALE_DOCS docs, default 60k), generated once and read
+    by both runs — the sandbox stand-in for N vs 4N executors."""
     import subprocess
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "60000"))
+    corpus_dir = os.path.join(
+        tempfile.gettempdir(), f"srs_scaling_corpus_{n_docs}"
+    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        gen = (
+            "import sys; sys.path.insert(0, %r); "
+            "from search_rs_spark.session import get_spark; "
+            "from search_rs_spark.sources.webtext import synthesize_webtext; "
+            "spark = get_spark(cores=32, shuffle_partitions=32); "
+            "synthesize_webtext(spark, %d, seed=42, vocab_size=20000, "
+            "mean_len=120, partitions=64).write.mode('overwrite').parquet(%r)"
+            % (repo, n_docs, corpus_dir)
+        )
+        subprocess.run([sys.executable, "-c", gen], check=True, timeout=1800,
+                       capture_output=True, text=True)
 
     times = {}
     for cores in (8, 32):
@@ -127,13 +152,13 @@ def run_scaling(sf_dir: str) -> dict:
             "import sys, time, tempfile, shutil; sys.path.insert(0, %r); "
             "from search_rs_spark.session import get_spark; "
             "from search_rs_spark.plans.build import build_index; "
-            "from search_rs_spark.sources.webtext import webtext_from_documents; "
             "spark = get_spark(cores=%d, shuffle_partitions=%d); "
+            "corpus = spark.read.parquet(%r); "
             "out = tempfile.mkdtemp(); t0 = time.time(); "
-            "build_index(spark, webtext_from_documents(spark, %r), out, "
+            "build_index(spark, corpus, out, "
             "resume=False, corpus_fingerprint='scaling'); "
             "print('ELAPSED', time.time() - t0); shutil.rmtree(out)"
-            % (os.path.dirname(os.path.abspath(__file__)), cores, max(cores, 8), sf_dir)
+            % (repo, cores, cores, corpus_dir)
         )
         r = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
@@ -148,6 +173,7 @@ def run_scaling(sf_dir: str) -> dict:
         "unit": "ratio",
         "queries": {f"build_local{c}_sec": round(t, 2) for c, t in times.items()},
         "sf": _sf_label(sf_dir),
+        "scale_docs": n_docs,
     }
 
 

@@ -61,7 +61,12 @@ def scored_hits(
         [(qid, term, float(index.idf(df))) for qid, term, df in terms],
         ["qid", "term", "idf"],
     )
-    postings = index.postings
+    # explicit IN-filter so the parquet scan gets PushedFilters on the
+    # term-sorted postings files (row-group skipping), in addition to the
+    # broadcast join that attaches qid/idf
+    postings = index.postings.filter(
+        F.col("term").isin(sorted({t for _, t, _ in terms}))
+    )
     if block_ids is not None:
         postings = postings.filter(F.col("block_id").isin(block_ids))
     hits = postings.join(F.broadcast(qdf), "term")

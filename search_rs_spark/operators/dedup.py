@@ -80,9 +80,21 @@ def _duck_shingles(k: int = SHINGLE_K) -> str:
     )
 
 
+def _parallelize(docs: DataFrame) -> DataFrame:
+    """Small single-file inputs arrive as one partition; the md5/shingle
+    work is CPU-bound, so spread it across the cluster explicitly."""
+    spark = docs.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target, F.col("doc_id"))
+    return docs
+
+
 def _shingled(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", F.expr(_spark_shingles()).alias("shingles")).filter(
-        F.size("shingles") > 0
+    return (
+        _parallelize(docs)
+        .select("doc_id", F.expr(_spark_shingles()).alias("shingles"))
+        .filter(F.size("shingles") > 0)
     )
 
 
@@ -124,7 +136,8 @@ def minhash_lsh_pairs(
     """(doc_a, doc_b, jaccard): near-dup pairs via banded LSH candidates
     verified with exact Jaccard over distinct shingles."""
     r = h // bands
-    sh = _shingled(docs)
+    # consumed three times (signatures + both sides of the verify join)
+    sh = _shingled(docs).persist()
     sigs = _with_sig(sh, h)
     # slim band table: the self-join ships no shingle arrays
     banded = sigs.select(
@@ -222,7 +235,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-char bitstring; bit d = majority vote of the
     high bit of md5(token) hex nibble d, weighted by term frequency."""
     t = F.expr(SPARK_TOKENS)
-    toks = docs.select("doc_id", F.explode(t).alias("tok"))
+    toks = _parallelize(docs).select("doc_id", F.explode(t).alias("tok"))
     weighted = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     hashed = weighted.select(
         "doc_id", "tf", F.md5("tok").alias("h")

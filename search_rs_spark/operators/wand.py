@@ -67,8 +67,10 @@ def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
     )
 
     # ---- pass 0: block metadata only (arrays pruned by parquet reader) ----
-    meta = index.postings.select("term", "block_id", "df_block", "block_max").join(
-        F.broadcast(qdf), "term"
+    meta = (
+        index.postings.select("term", "block_id", "df_block", "block_max")
+        .filter(F.col("term").isin(sorted(distinct_terms)))
+        .join(F.broadcast(qdf), "term")
     )
     span_ub = meta.groupBy("block_id").agg(
         F.sum(F.col("idf") * F.col("block_max") * F.col("mult")).alias("ub_bm"),

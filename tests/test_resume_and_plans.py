@@ -1,0 +1,87 @@
+"""Partial resume, distributed spellcheck parity, physical-plan pins,
+and snippet fetch."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_rs_spark.operators.bm25 import free_query, resolve_query_terms, scored_hits
+from search_rs_spark.operators.snippets import with_snippets
+from search_rs_spark.operators.spellcheck import DriverVocabulary, spellcheck_distributed
+from search_rs_spark.plans.build import build_index
+from search_rs_spark.plans.index import SearchIndex
+from search_rs_spark.sources.webtext import reference_fixture, synthesize_webtext
+
+
+def test_partial_resume_reruns_only_missing_stage(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    wt = reference_fixture(spark)
+    build_index(spark, wt, out, corpus_fingerprint="fix3")
+    # invalidate one downstream stage
+    os.remove(os.path.join(out, "postings", "_MANIFEST.json"))
+    m = build_index(spark, wt, out, corpus_fingerprint="fix3")
+    by_stage = {x["stage"]: x for x in m if "stage" in x}
+    assert by_stage["doc_map"].get("skipped")
+    assert by_stage["term_doc"].get("skipped")
+    assert not by_stage["postings"].get("skipped")
+    # changing params invalidates everything
+    m2 = build_index(spark, wt, out, min_f=1, corpus_fingerprint="fix3")
+    assert not any(x.get("skipped") for x in m2 if "stage" in x)
+
+
+def test_distributed_spellcheck_matches_driver(spark, tmp_path):
+    wt = synthesize_webtext(spark, 120, seed=5, vocab_size=200, mean_len=30)
+    out = str(tmp_path / "idx")
+    build_index(spark, wt, out, corpus_fingerprint="s120")
+    idx = SearchIndex.load(spark, out)
+    vocab_df = idx.vocabulary
+    driver = idx.driver_vocab()
+
+    probes = ["peopl", "wrld", "statx", "zz", "knowx", "the"]
+    dist = spellcheck_distributed(vocab_df, probes)
+    for p in probes:
+        drv = driver.spellcheck_term(p)
+        got = dist[p]
+        if drv is None:
+            assert got is None, (p, got)
+        else:
+            # same (lev, df) key; iteration order may differ on exact ties
+            assert got is not None
+            from search_rs_spark.operators.spellcheck import levenshtein
+
+            kd = (levenshtein(p, drv), -driver.dfs[driver.term_to_index[drv]])
+            kg = (levenshtein(p, got), -driver.dfs[driver.term_to_index[got]])
+            assert kd == kg, (p, drv, got)
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_plan"))
+    wt = synthesize_webtext(spark, 150, seed=9, vocab_size=250, mean_len=30)
+    build_index(spark, wt, out, corpus_fingerprint="p150")
+    return SearchIndex.load(spark, out), wt
+
+
+def test_physical_plan_properties(spark, small_index):
+    """Pin the plan shapes the engine depends on at scale."""
+    idx, _ = small_index
+    terms = resolve_query_terms(idx, "the world time")
+    plan = scored_hits(idx, terms)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # query terms broadcast, never shuffled
+    assert "term#" in plan and " IN (" in plan  # IN-filter reaches the scan
+
+    topk_plan = (
+        free_query(idx, "the world time", 10)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in topk_plan  # distributed bounded top-k
+
+
+def test_snippets(spark, small_index):
+    idx, wt = small_index
+    res = free_query(idx, "the world", 5)
+    snip = with_snippets(res, wt).collect()
+    assert len(snip) == 5
+    for r in snip:
+        assert r["snippet"] and len(r["snippet"]) <= 250
