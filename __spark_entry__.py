@@ -82,7 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from search_rs_spark.operators.boolean import boolean_query
     from search_rs_spark.operators.multimodal import decode_metadata, fake_assets
 
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    raw: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q = raw  # populated below, then wrapped
 
     # core engine dataflow (no-stem, SQL-checkable)
     q["core_doc_lengths"] = lambda s, d: sp.doc_lengths(_docs(s, d))
@@ -124,7 +125,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multimodal plumbing (stub decode; rows-only)
     q["mm_decode_metadata"] = lambda s, d: decode_metadata(fake_assets(s, 500))
 
-    return q
+    def _wrap(fn):
+        def run(s: SparkSession, d: str) -> DataFrame:
+            # several queries use package-defined UDFs/mapInPandas; make
+            # sure the driver's session can import the package on workers
+            from search_rs_spark.session import ensure_workers_can_import
+
+            ensure_workers_can_import(s)
+            return fn(s, d)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in raw.items()}
 
 
 def oracle_sql() -> dict[str, str]:

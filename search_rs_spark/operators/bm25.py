@@ -38,10 +38,31 @@ NUM_RESULTS = 100  # search/src/main.rs:10
 
 
 def resolve_query_terms(index, query: str) -> list[tuple[int, str, int]]:
-    """-> [(qid, term, df)]: tokenize, spellcheck, drop unmatched (mod.rs:141-146)."""
-    vocab = index.driver_vocab()
+    """-> [(qid, term, df)]: tokenize, spellcheck, drop unmatched (mod.rs:141-146).
+
+    Uses the in-memory vocabulary when it fits on the driver (the
+    reference's approach, vocabulary.rs:44-97); falls back to the
+    distributed trigram-join spellcheck for vocabularies beyond the
+    driver threshold."""
+    toks = tokenize_and_stem(query)
     out = []
-    for tok in tokenize_and_stem(query):
+    try:
+        vocab = index.driver_vocab()
+    except RuntimeError:
+        from .spellcheck import spellcheck_distributed
+
+        corrected_map = spellcheck_distributed(index.vocabulary, toks)
+        corrected_terms = [corrected_map[t] for t in toks if corrected_map.get(t)]
+        if not corrected_terms:
+            return []
+        dfs = {
+            r["term"]: r["df"]
+            for r in index.vocabulary.filter(
+                F.col("term").isin(sorted(set(corrected_terms)))
+            ).collect()
+        }
+        return [(i, t, dfs[t]) for i, t in enumerate(corrected_terms)]
+    for tok in toks:
         corrected = vocab.spellcheck_term(tok)
         if corrected is not None:
             _, df = vocab.get(corrected)

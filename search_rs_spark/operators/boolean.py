@@ -52,7 +52,12 @@ def infix_to_postfix(query: str) -> list[str]:
 def _term_doc_ids(index, term: str) -> DataFrame:
     """Spellcheck the verbatim operand, then fetch its sorted doc ids."""
     spark = index.spark
-    corrected = index.driver_vocab().spellcheck_term(term)
+    try:
+        corrected = index.driver_vocab().spellcheck_term(term)
+    except RuntimeError:  # vocabulary beyond driver threshold
+        from .spellcheck import spellcheck_distributed
+
+        corrected = spellcheck_distributed(index.vocabulary, [term]).get(term)
     if corrected is None:
         return spark.range(0).select(F.col("id").cast("long").alias("doc_id"))
     return (

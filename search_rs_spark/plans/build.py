@@ -5,10 +5,13 @@ Spark-first re-expression of the reference build
 folds the whole corpus into RAM in one process; here every stage is a
 shuffle with a checkpointed parquet output:
 
-  doc_map      (url, doc_id)                      rank by url (B1/B5)
-  tokens       (doc_id, url, doc_len, tokens)     vectorized UDF (B3/B6)
-  stats        json: num_docs, avgdl, thresholds  (documents.rs:21-38)
-  doc_lengths  (doc_id, url, doc_len)             (B13)
+  tokens       (doc_id, url, doc_len, tokens)     rank by url fused with
+                                                  the vectorized tokenize
+                                                  UDF (B1/B3/B5/B6); also
+                                                  serves doc_lengths (B13)
+                                                  via column pruning
+  stats        json: num_docs, avgdl, thresholds  zero-job Observation
+                                                  (documents.rs:21-38)
   term_doc     (term, doc_id, tf, doc_len, positions)   phase-1 agg (B7)
   vocabulary   (term, term_id, df)                df filter + rank (B8/B9)
   postings     (term_id, term, block_id, doc_ids, tfs, dls, positions,
@@ -80,25 +83,28 @@ def build_index(
             "stem": stem,
             "lang": lang,
             "block_span": block_span,
-            "layout": 2,
+            "layout": 4,
         }
     )
     runner = StageRunner(spark, out_dir, fp, resume=resume)
 
-    # -- doc_map: deterministic dense doc ids by url order (B5) -------------
-    doc_map = runner.run("doc_map", lambda: with_global_rank(corpus.select("url"), "url", "doc_id"))
+    # -- tokens: doc-id assignment fused with the tokenize pass (B3/B5/B6) --
+    # with_global_rank range-partitions by url, so the output is already
+    # globally sorted by doc_id — written as-is (tight row-group stats,
+    # no extra shuffle); build stats ride along as a zero-job Observation
+    from pyspark.sql import Observation
 
-    # -- tokens: one tokenize pass, materialized (B3/B6) --------------------
+    obs_holder: list[Observation] = []
+
     def make_tokens():
-        toks = corpus.join(doc_map, "url").select(
+        ranked = with_global_rank(corpus.select("url", "text"), "url", "doc_id")
+        toks = ranked.select(
             "doc_id", "url", tokens_udf(stem)(F.col("text")).alias("tokens")
-        )
-        return (
-            toks.withColumn("doc_len", F.size("tokens"))
-            .repartitionByRange(
-                int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "doc_id"
-            )
-            .sortWithinPartitions("doc_id")
+        ).withColumn("doc_len", F.size("tokens"))
+        obs = Observation("build_stats")
+        obs_holder.append(obs)
+        return toks.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("total_len")
         )
 
     tokens = runner.run("tokens", make_tokens)
@@ -107,11 +113,15 @@ def build_index(
     if runner.is_done("stats"):
         stats = runner.read_json("stats")
     else:
-        agg = tokens.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("total_len")
-        ).collect()[0]
-        num_docs = agg["n"]
-        total_len = agg["total_len"] or 0
+        if obs_holder:
+            got = obs_holder[0].get
+            num_docs, total_len = got["n"], got["total_len"] or 0
+        else:  # tokens stage was resumed; one aggregate over the table
+            agg = tokens.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("total_len")
+            ).collect()[0]
+            num_docs = agg["n"]
+            total_len = agg["total_len"] or 0
         stats = {
             "num_docs": int(num_docs),
             "avgdl": (float(total_len) / num_docs) if num_docs else 0.0,
@@ -124,28 +134,21 @@ def build_index(
         }
         runner.write_json("stats", stats)
 
-    # -- doc_lengths ----------------------------------------------------------
-    runner.run(
-        "doc_lengths", lambda: tokens.select("doc_id", "url", "doc_len")
-    )
+    # doc_lengths is served from the tokens table via parquet column
+    # pruning (doc_id/url/doc_len only — the tokens column is never read),
+    # so it needs no separate write stage; see SearchIndex.doc_lengths.
 
     # -- term_doc: phase-1 aggregation (B7) -----------------------------------
     def make_term_doc():
         exploded = tokens.select(
             "doc_id", "doc_len", F.posexplode("tokens").alias("pos", "term")
         )
-        return (
-            exploded.groupBy("term", "doc_id", "doc_len")
-            .agg(
-                F.count(F.lit(1)).cast("int").alias("tf"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-            )
-            .repartitionByRange(
-                int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-                "term",
-                "doc_id",
-            )
-            .sortWithinPartitions("term", "doc_id")
+        # written as the groupBy produces it: both consumers (vocabulary
+        # df-count, postings block agg) re-shuffle by term anyway, so an
+        # extra repartition+sort of the largest intermediate buys nothing
+        return exploded.groupBy("term", "doc_id", "doc_len").agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
         )
 
     term_doc = runner.run("term_doc", make_term_doc)
@@ -185,10 +188,9 @@ def build_index(
             F.array_max(
                 F.transform(F.col("plist"), lambda e: norm_expr(e, avgdl))
             ).alias("block_max"),
-        ).repartitionByRange(
+        ).repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-            "term",
-            "block_id",
+            F.col("term"),
         ).sortWithinPartitions("term", "block_id")
 
     def norm_expr(e, avgdl):

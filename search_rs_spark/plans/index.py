@@ -42,7 +42,11 @@ class SearchIndex:
 
     @property
     def doc_lengths(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "doc_lengths"))
+        """(doc_id, url, doc_len) — a pruned view over the tokens table
+        (columnar read skips the tokens arrays; no duplicate storage)."""
+        return self.spark.read.parquet(os.path.join(self.path, "tokens")).select(
+            "doc_id", "url", "doc_len"
+        )
 
     @property
     def vocabulary(self) -> DataFrame:

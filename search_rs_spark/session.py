@@ -21,6 +21,18 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join("/tmp", "search_rs_spark_pkg.zip")
+    # rebuild when any source file is newer than the zip (stale-zip guard)
+    newest = max(
+        (
+            os.path.getmtime(os.path.join(root, f))
+            for root, _d, files in os.walk(pkg_dir)
+            for f in files
+            if f.endswith(".py")
+        ),
+        default=0,
+    )
+    if os.path.exists(zip_path) and os.path.getmtime(zip_path) < newest:
+        os.remove(zip_path)
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
@@ -65,7 +77,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor memory — with 32
+        # concurrent sort/aggregate tasks a small heap GC-thrashes, and a
+        # small initial heap pays ~1 min of growth+GC on the first heavy job
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
