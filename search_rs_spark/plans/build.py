@@ -61,6 +61,7 @@ def build_index(
     block_span: int = DEFAULT_BLOCK_SPAN,
     resume: bool = True,
     corpus_fingerprint: str | None = None,
+    encode_blobs: bool = False,
 ) -> "list[dict]":
     """Build all index tables under ``out_dir``; returns stage metrics.
 
@@ -83,6 +84,7 @@ def build_index(
             "stem": stem,
             "lang": lang,
             "block_span": block_span,
+            "encode_blobs": encode_blobs,
             "layout": 4,
         }
     )
@@ -175,7 +177,7 @@ def build_index(
                 F.collect_list(F.struct("doc_id", "tf", "doc_len", "positions"))
             ).alias("plist")
         )
-        return grouped.select(
+        out = grouped.select(
             "term_id",
             "term",
             "df",
@@ -192,6 +194,26 @@ def build_index(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
             F.col("term"),
         ).sortWithinPartitions("term", "block_id")
+        if encode_blobs:
+            # reference-layout binary blob per block (gap + gamma/vbyte,
+            # postings.rs:57-75) via an Arrow-batched pandas UDF
+            from ..functions.codecs import encode_postings
+
+            def enc_fn(doc_ids, tfs, positions):
+                import pandas as pd
+
+                return pd.Series(
+                    [
+                        encode_postings(list(d), list(t), [list(x) for x in p])
+                        for d, t, p in zip(doc_ids, tfs, positions)
+                    ]
+                )
+
+            enc_udf = F.pandas_udf(enc_fn, "binary")
+            out = out.withColumn(
+                "postings_bytes", enc_udf("doc_ids", "tfs", "positions")
+            )
+        return out
 
     def norm_expr(e, avgdl):
         # per-posting BM25 contribution bound (idf excluded; the final

@@ -64,23 +64,30 @@ class StageRunner:
         """Write ``make_df()`` to ``<out>/<stage>`` unless already done."""
         target = self.path(stage)
         if self.is_done(stage):
+            from ..sources.catalog import read_stage
+
             self.metrics.append({"stage": stage, "skipped": True})
-            return self.spark.read.parquet(target)
+            return read_stage(self.spark, target)
+
+        from ..sources.catalog import read_stage, write_stage
 
         t0 = time.time()
         df = make_df()
-        writer = df.write.mode("overwrite")
-        writer.parquet(target)
+        write_stage(df, target)
         elapsed = time.time() - t0
 
-        written = self.spark.read.parquet(target)
-        # row count from parquet footers (no Spark job)
-        import pyarrow.parquet as pq
-
+        written = read_stage(self.spark, target)
+        # row count from parquet footers when possible (no Spark job)
         files = [f for f in os.listdir(target) if f.endswith(".parquet")]
-        n_rows = sum(
-            pq.ParquetFile(os.path.join(target, f)).metadata.num_rows for f in files
-        )
+        if files:
+            import pyarrow.parquet as pq
+
+            n_rows = sum(
+                pq.ParquetFile(os.path.join(target, f)).metadata.num_rows
+                for f in files
+            )
+        else:  # non-parquet layout (iceberg): one count job
+            n_rows = written.count()
         n_files = len(files)
         manifest = {
             "stage": stage,

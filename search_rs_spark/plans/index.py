@@ -44,17 +44,23 @@ class SearchIndex:
     def doc_lengths(self) -> DataFrame:
         """(doc_id, url, doc_len) — a pruned view over the tokens table
         (columnar read skips the tokens arrays; no duplicate storage)."""
-        return self.spark.read.parquet(os.path.join(self.path, "tokens")).select(
+        from ..sources.catalog import read_stage
+
+        return read_stage(self.spark, os.path.join(self.path, "tokens")).select(
             "doc_id", "url", "doc_len"
         )
 
     @property
     def vocabulary(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "vocabulary"))
+        from ..sources.catalog import read_stage
+
+        return read_stage(self.spark, os.path.join(self.path, "vocabulary"))
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+        from ..sources.catalog import read_stage
+
+        return read_stage(self.spark, os.path.join(self.path, "postings"))
 
     @property
     def num_docs(self) -> int:
