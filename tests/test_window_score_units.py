@@ -1,0 +1,43 @@
+"""Hand-derived vectors for the minimal covering window (Q11).
+
+These are independent of the oracle: min_window is SHARED between the
+Spark UDF, the oracle, and the serving engine, so a bug there would
+cancel out in rank-identity tests — these vectors pin the semantics
+(mod.rs:255-286) directly.
+"""
+
+import pytest
+
+from search_rs_spark.operators.window_score import U32_MAX, combined_score, min_window
+
+VECTORS = [
+    # (pairs=(pos, token_id), num_tokens, expected_window)
+    ([(0, 0), (5, 1)], 2, 6),
+    ([(0, 0), (1, 1), (2, 0)], 2, 2),
+    ([(3, 0)], 1, 1),
+    ([(0, 0)], 2, U32_MAX),  # token 1 never appears
+    ([], 1, U32_MAX),
+    ([(0, 0), (10, 1), (11, 0), (12, 1)], 2, 2),
+    # all three tokens; best window is positions 7..9
+    ([(0, 0), (7, 1), (8, 2), (9, 0), (50, 1)], 3, 3),
+    # duplicate query tokens (ids 0 and 2 share the same positions)
+    ([(4, 0), (4, 2), (5, 1)], 3, 2),
+    # adjacent same-position different tokens
+    ([(2, 0), (2, 1)], 2, 1),
+]
+
+
+@pytest.mark.parametrize("pairs,nt,expected", VECTORS)
+def test_min_window_vectors(pairs, nt, expected):
+    assert min_window(pairs, nt) == expected
+    # input order must not matter (reference sorts internally)
+    assert min_window(list(reversed(pairs)), nt) == expected
+
+
+def test_combined_score_formula():
+    # 3 * nt/window + 1 * bm25  (mod.rs:24-25,284-285)
+    s = combined_score(0.5, [(0, 0), (1, 1)], 2)
+    assert abs(s - (3.0 * 2 / 2 + 0.5)) < 1e-12
+    # no covering window -> tiny but nonzero window term
+    s2 = combined_score(0.25, [(0, 0)], 2)
+    assert abs(s2 - (3.0 * 2 / U32_MAX + 0.25)) < 1e-12
