@@ -155,7 +155,24 @@ def build_index(
 
     term_doc = runner.run("term_doc", make_term_doc)
 
-    # -- vocabulary: df filter + sorted rank (B8/B9) ---------------------------
+    _build_downstream(runner, spark, term_doc, stats, min_f, block_span, encode_blobs)
+    return runner.metrics
+
+
+def _norm_expr(e, avgdl):
+    # per-posting BM25 contribution bound (idf excluded; the final
+    # /doc_len renormalization of mod.rs:186 is folded in)
+    tf = e["tf"].cast("double")
+    dl = e["doc_len"].cast("double")
+    return (
+        tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+    ) / dl
+
+
+def _build_downstream(runner, spark, term_doc, stats, min_f, block_span, encode_blobs):
+    """vocabulary (B8/B9) + blocked postings (B10) from a term_doc table —
+    shared by the batch build and the streaming-delta finalizer."""
+
     def make_vocab():
         dfc = term_doc.groupBy("term").agg(F.count(F.lit(1)).cast("int").alias("df"))
         kept = dfc.filter(
@@ -165,7 +182,6 @@ def build_index(
 
     vocab = runner.run("vocabulary", make_vocab)
 
-    # -- postings: blocked, skew-safe term-major layout (B10) ------------------
     def make_postings():
         avgdl = stats["avgdl"] or 1.0
         kept = term_doc.join(vocab.select("term", "term_id", "df"), "term")
@@ -188,7 +204,7 @@ def build_index(
             F.expr("transform(plist, x -> x.positions)").alias("positions"),
             F.size("plist").alias("df_block"),
             F.array_max(
-                F.transform(F.col("plist"), lambda e: norm_expr(e, avgdl))
+                F.transform(F.col("plist"), lambda e: _norm_expr(e, avgdl))
             ).alias("block_max"),
         ).repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
@@ -215,15 +231,65 @@ def build_index(
             )
         return out
 
-    def norm_expr(e, avgdl):
-        # per-posting BM25 contribution bound (idf excluded; the final
-        # /doc_len renormalization of mod.rs:186 is folded in)
-        tf = e["tf"].cast("double")
-        dl = e["doc_len"].cast("double")
-        return (
-            tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
-        ) / dl
-
     runner.run("postings", make_postings)
 
+
+def build_index_from_term_doc(
+    spark: SparkSession,
+    doc_lengths: DataFrame,
+    term_doc: DataFrame,
+    out_dir: str,
+    min_f: int = 0,
+    max_p: float = 1.0,
+    block_span: int = DEFAULT_BLOCK_SPAN,
+    encode_blobs: bool = False,
+    fingerprint_hint: str = "deltas",
+) -> "list[dict]":
+    """Finalize pre-aggregated inputs (e.g. streamed deltas,
+    streaming/ingest.py) into a complete, queryable index — identical
+    tables to :func:`build_index` over the same corpus.
+
+    ``doc_lengths``: (doc_id, url, doc_len); ``term_doc``:
+    (term, doc_id, doc_len, tf, positions).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    fp = fingerprint(
+        {
+            "corpus": fingerprint_hint,
+            "min_f": min_f,
+            "max_p": max_p,
+            "block_span": block_span,
+            "encode_blobs": encode_blobs,
+            "layout": 4,
+        }
+    )
+    runner = StageRunner(spark, out_dir, fp, resume=True)
+
+    # "tokens" table without the tokens column — SearchIndex.doc_lengths
+    # and LocalEngine read only (doc_id, url, doc_len) from it
+    runner.run("tokens", lambda: doc_lengths.select("doc_id", "url", "doc_len"))
+
+    if runner.is_done("stats"):
+        stats = runner.read_json("stats")
+    else:
+        agg = doc_lengths.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("total_len")
+        ).collect()[0]
+        n = agg["n"]
+        stats = {
+            "num_docs": int(n),
+            "avgdl": (float(agg["total_len"] or 0) / n) if n else 0.0,
+            "min_f": min_f,
+            "max_p": max_p,
+            "stem": True,
+            "block_span": block_span,
+            "df_threshold": int(n * max_p),
+        }
+        runner.write_json("stats", stats)
+
+    td = runner.run(
+        "term_doc",
+        lambda: term_doc.select("term", "doc_id", "doc_len", "tf", "positions"),
+    )
+    _build_downstream(runner, spark, td, stats, min_f, block_span, encode_blobs)
     return runner.metrics

@@ -48,3 +48,28 @@ def test_stream_equals_batch(spark, tmp_path):
     )
     s = {(r["url"], r["term"]): r["tf"] for r in joined.collect()}
     assert s == b
+
+    # finalize the deltas into a FULL index and compare queries with a
+    # batch build over the same corpus
+    import math
+
+    from search_rs_spark.operators.bm25 import free_query
+    from search_rs_spark.plans.build import build_index, build_index_from_term_doc
+    from search_rs_spark.plans.index import SearchIndex
+
+    stream_out = str(tmp_path / "idx_stream")
+    build_index_from_term_doc(
+        spark, out["doc_lengths"], out["term_doc"], stream_out, fingerprint_hint="s60"
+    )
+    batch_out = str(tmp_path / "idx_batch")
+    build_index(spark, wt, batch_out, corpus_fingerprint="b60")
+
+    si = SearchIndex.load(spark, stream_out)
+    bi = SearchIndex.load(spark, batch_out)
+    assert si.num_docs == bi.num_docs and si.avgdl == bi.avgdl
+    for q in ["the world", "man time year"]:
+        sr = [(r["doc_id"], r["score"]) for r in free_query(si, q, 20).collect()]
+        br = [(r["doc_id"], r["score"]) for r in free_query(bi, q, 20).collect()]
+        assert [d for d, _ in sr] == [d for d, _ in br]
+        for (_, a), (_, c) in zip(sr, br):
+            assert math.isclose(a, c, rel_tol=1e-9)
