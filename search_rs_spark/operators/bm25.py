@@ -113,6 +113,49 @@ def scored_hits(
     )
 
 
+def score_candidates(
+    index, terms: list[tuple[int, str, int]], block_ids: list[int] | None = None
+) -> DataFrame:
+    """-> (doc_id, score) for every candidate doc — exact combined score.
+
+    Split evaluation: a doc missing any query token id has window =
+    u32::MAX (mod.rs:256), so its exact score is the closed form
+    ``3*nt/U32_MAX + bm_sum/dl`` — no positions shuffle, no Python.
+    Only docs containing ALL query token ids (the conjunction set,
+    typically a small fraction) aggregate their positions and run the
+    window UDF. Identical results to the naive plan, large constant
+    win on disjunctive queries.
+    """
+    from .window_score import U32_MAX, WINDOW_SCORE_MULTIPLIER
+
+    num_tokens = len(terms)
+    e = scored_hits(index, terms, block_ids=block_ids)
+    flags = e.groupBy("doc_id", "dl").agg(
+        F.sum("bm").alias("bm_sum"), F.countDistinct("qid").alias("nq_present")
+    )
+    eps = WINDOW_SCORE_MULTIPLIER * num_tokens / U32_MAX
+    partial = flags.filter(F.col("nq_present") < num_tokens).select(
+        "doc_id",
+        (F.lit(eps) + BM25_SCORE_MULTIPLIER * F.col("bm_sum") / F.col("dl")).alias(
+            "score"
+        ),
+    )
+    conj = flags.filter(F.col("nq_present") == num_tokens)
+    tpos = (
+        e.join(conj.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct(F.col("qid"), F.col("positions"))).alias("tpos"))
+    )
+    conj_scored = conj.join(tpos, "doc_id").select(
+        "doc_id",
+        (
+            window_score_udf(num_tokens)(F.col("tpos"))
+            + BM25_SCORE_MULTIPLIER * F.col("bm_sum") / F.col("dl")
+        ).alias("score"),
+    )
+    return partial.unionAll(conj_scored)
+
+
 def free_query(index, query: str, k: int = NUM_RESULTS) -> DataFrame:
     """-> DataFrame (doc_id, url, score), score-desc / doc_id-asc, k rows."""
     terms = resolve_query_terms(index, query)
@@ -121,21 +164,11 @@ def free_query(index, query: str, k: int = NUM_RESULTS) -> DataFrame:
         return (
             index.doc_lengths.select("doc_id", "url", F.lit(0.0).alias("score")).limit(0)
         )
-    num_tokens = len(terms)
-
-    e = scored_hits(index, terms)
-    per_doc = e.groupBy("doc_id", "dl").agg(
-        F.sum("bm").alias("bm_sum"),
-        F.collect_list(F.struct(F.col("qid"), F.col("positions"))).alias("tpos"),
+    topk = (
+        score_candidates(index, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )
-    scored = per_doc.withColumn(
-        "score",
-        window_score_udf(num_tokens)(F.col("tpos"))
-        + BM25_SCORE_MULTIPLIER * F.col("bm_sum") / F.col("dl"),
-    )
-    topk = scored.select("doc_id", "score").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    ).limit(k)
     return (
         index.doc_lengths.join(F.broadcast(topk), "doc_id")
         .select("doc_id", "url", "score")

@@ -32,13 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bm25 import resolve_query_terms, scored_hits
-from .window_score import (
-    BM25_SCORE_MULTIPLIER,
-    U32_MAX,
-    WINDOW_SCORE_MULTIPLIER,
-    window_score_udf,
-)
+from .bm25 import resolve_query_terms, score_candidates
+from .window_score import U32_MAX, WINDOW_SCORE_MULTIPLIER
 
 COVERAGE_FACTOR = 4
 
@@ -101,18 +96,7 @@ def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
     ub_by_block = {r["block_id"]: r["ub"] for r in spans}
 
     def exact_scores(block_ids: list[int]) -> DataFrame:
-        hits = scored_hits(index, terms, block_ids=block_ids)
-        per_doc = hits.groupBy("doc_id", "dl").agg(
-            F.sum("bm").alias("bm_sum"),
-            F.collect_list(F.struct(F.col("qid"), F.col("positions"))).alias("tpos"),
-        )
-        return per_doc.select(
-            "doc_id",
-            (
-                window_score_udf(num_tokens)(F.col("tpos"))
-                + BM25_SCORE_MULTIPLIER * F.col("bm_sum") / F.col("dl")
-            ).alias("score"),
-        )
+        return score_candidates(index, terms, block_ids=block_ids)
 
     first = exact_scores(first_ids)
     first_top = first.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
