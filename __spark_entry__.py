@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["core_postings_stats"] = lambda s, d: sp.postings_stats(_docs(s, d))
     q["core_bm25_topk"] = lambda s, d: sp.bm25_topk(_docs(s, d))
     q["core_boolean"] = lambda s, d: sp.boolean_containment(_docs(s, d))
+    q["core_positions"] = lambda s, d: sp.positional_postings(_docs(s, d))
 
     # full engine (stemmed + window + spellcheck): rows-only checks
     q["engine_free_query"] = lambda s, d: free_query(
@@ -112,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dd_minhash_sig"] = lambda s, d: dedup.minhash_signatures(_docs(s, d))
     q["dd_lsh_pairs"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
     q["dd_simhash"] = lambda s, d: dedup.simhash_signatures(_docs(s, d))
+    q["dd_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
 
     # similarity search
     q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk_bruteforce(
@@ -151,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "core_postings_stats": sp.POSTINGS_STATS_SQL,
         "core_bm25_topk": sp.bm25_topk_sql(),
         "core_boolean": sp.BOOLEAN_SQL,
+        "core_positions": sp.positional_postings_sql(),
         "ta_token_counts": ta.TOKEN_COUNTS_SQL,
         "ta_lang_id": ta.lang_id_sql(),
         "ta_quality": ta.QUALITY_SQL,
@@ -159,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_sig": dedup.minhash_signatures_sql(),
         "dd_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
         "dd_simhash": dedup.simhash_signatures_sql(),
+        "dd_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "sim_cosine_topk": similarity.cosine_topk_sql(qv, k=10, exclude_vec_id=0),
         "sim_cosine_pairs": similarity.cosine_pairs_sql(),
     }

@@ -227,6 +227,48 @@ WHERE len(list_intersect(sh_a, sh_b))::DOUBLE / len(list_distinct(sh_a || sh_b))
 
 
 # ---------------------------------------------------------------------------
+# direct n-gram Jaccard (bounded pairwise — the exact-verification
+# primitive; LSH above is the scale path for candidate generation)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.3, max_doc_id: int = 150
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over all pairs within a doc-id window."""
+    sh = _shingled(docs.filter(F.col("doc_id") < max_doc_id))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
+                / F.size(F.array_union("a.shingles", "b.shingles")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.3, max_doc_id: int = 150) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_duck_shingles()} AS shingles FROM documents
+  WHERE doc_id < {max_doc_id}
+), sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      / len(list_distinct(a.shingles || b.shingles)) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash (32-dim md5-nibble variant, engine-portable)
 # ---------------------------------------------------------------------------
 

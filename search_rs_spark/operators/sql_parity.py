@@ -199,3 +199,53 @@ SELECT doc_id FROM t
 WHERE list_contains(toks, 'data') AND list_contains(toks, 'query')
   AND NOT list_contains(toks, 'join')
 """
+
+
+POSITION_TERMS = ["data", "query", "spark"]
+
+
+def positional_postings(docs: DataFrame, terms: list[str] | None = None) -> DataFrame:
+    """(doc_id, term, tf, first_pos, last_pos) — the positional payload
+    of the inverted index (B7's positions lists), 1-based positions."""
+    terms = terms or POSITION_TERMS
+    t = _toks(docs)
+    rows = []
+    for term in terms:
+        pos = F.filter(
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda i: F.element_at(F.col("toks"), i) == term,
+        )
+        rows.append(
+            t.select(
+                "doc_id",
+                F.lit(term).alias("term"),
+                F.size(pos).cast("long").alias("tf"),
+                F.array_min(pos).cast("long").alias("first_pos"),
+                F.array_max(pos).cast("long").alias("last_pos"),
+            ).filter(F.col("tf") > 0)
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def positional_postings_sql(terms: list[str] | None = None) -> str:
+    terms = terms or POSITION_TERMS
+    selects = " UNION ALL ".join(
+        f"""
+SELECT doc_id, '{term}' AS term,
+       len(p) AS tf, list_min(p) AS first_pos, list_max(p) AS last_pos
+FROM (
+  SELECT doc_id,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = '{term}') AS p
+  FROM t
+) WHERE len(p) > 0"""
+        for term in terms
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+)
+{selects}
+"""
