@@ -5,11 +5,12 @@ corpus (documents.parquet adapted to the webtext shape) and run the
 full stemmed BM25+window free-text query.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-family (SURVEY.md §2 + training-data ops). SQL-expressible operators
-use the no-stem tokenizer so DuckDB computes identical values; the
-stemmed full engine, window score, multimodal plumbing, and LSH-ANN
-are rows-only checks (no oracle_sql entry) and are instead pinned by
-pytest against the pure-Python reference oracle.
+family (SURVEY.md §2 + training-data ops): 22 queries, 18 of them
+DuckDB-oracle-checked. SQL-expressible operators use the no-stem
+tokenizer so DuckDB computes identical values; the stemmed full
+engine, window score, multimodal plumbing, and LSH-ANN are rows-only
+checks (no oracle_sql entry) and are instead pinned by pytest against
+the pure-Python reference oracle (see PARITY.md).
 """
 
 from __future__ import annotations
