@@ -141,15 +141,24 @@ def score_candidates(
         ),
     )
     conj = flags.filter(F.col("nq_present") == num_tokens)
+    # flat aligned (qid, pos) arrays per doc: two collect_lists in one
+    # aggregate see rows in the same order, and Arrow hands flat int
+    # arrays to numpy with no per-element Python objects
+    from .window_score import window_score_flat_udf
+
     tpos = (
         e.join(conj.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "qid", F.explode("positions").alias("p"))
         .groupBy("doc_id")
-        .agg(F.collect_list(F.struct(F.col("qid"), F.col("positions"))).alias("tpos"))
+        .agg(
+            F.collect_list("qid").alias("qids"),
+            F.collect_list("p").alias("ps"),
+        )
     )
     conj_scored = conj.join(tpos, "doc_id").select(
         "doc_id",
         (
-            window_score_udf(num_tokens)(F.col("tpos"))
+            window_score_flat_udf(num_tokens)(F.col("qids"), F.col("ps"))
             + BM25_SCORE_MULTIPLIER * F.col("bm_sum") / F.col("dl")
         ).alias("score"),
     )

@@ -50,6 +50,65 @@ def combined_score(bm25_normalized: float, pairs, num_tokens: int) -> float:
     )
 
 
+def min_window_np(pos, ids, num_tokens: int) -> int:
+    """Vectorised minimal covering window (numpy), equal to
+    :func:`min_window` on sorted input (property-tested).
+
+    For each right endpoint r, the minimal covering window ending at r
+    starts at ``l(r) = min over ids of (last occurrence of id <= r)``;
+    the answer is the min over r — the same quantity the reference's
+    two-pointer sweep computes (mod.rs:264-281).
+    """
+    import numpy as np
+
+    L = len(pos)
+    if L == 0:
+        return U32_MAX
+    pos = np.asarray(pos, dtype=np.int64)
+    ids = np.asarray(ids, dtype=np.int64)
+    M = np.full((num_tokens, L), -1, dtype=np.int64)
+    M[ids, np.arange(L)] = np.arange(L)
+    M = np.maximum.accumulate(M, axis=1)
+    m = M.min(axis=0)
+    valid = m >= 0
+    if not valid.any():
+        return U32_MAX
+    w = pos[valid] - pos[m[valid]] + 1
+    return int(w.min())
+
+
+_NUMPY_CUTOVER = 32  # below this, the python loop beats numpy overhead
+
+
+def window_score_flat_udf(num_tokens: int):
+    """pandas UDF over FLAT aligned arrays (qids array<int>, positions
+    array<int>) -> 3*nt/window. Arrow hands the arrays to numpy without
+    per-element Python objects — the fast path for large candidate sets
+    (the struct-based window_score_udf stays for the generic shape)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def fn(qids, positions):
+        out = []
+        for q_arr, p_arr in zip(qids, positions):
+            L = len(p_arr)
+            if L >= _NUMPY_CUTOVER:
+                q = np.asarray(q_arr, dtype=np.int64)
+                p = np.asarray(p_arr, dtype=np.int64)
+                order = np.lexsort((q, p))
+                w = min_window_np(p[order], q[order], num_tokens)
+            else:
+                pairs = sorted(zip((int(x) for x in p_arr), (int(x) for x in q_arr)))
+                w = min_window(pairs, num_tokens)
+            out.append(WINDOW_SCORE_MULTIPLIER * num_tokens / w)
+        return pd.Series(out, dtype="float64")
+
+    return F.pandas_udf(fn, T.DoubleType())
+
+
 def window_score_udf(num_tokens: int):
     """pandas UDF: array<struct<qid int, positions array<int>>> -> double
     (the 3.0 * num_tokens / window term only)."""
@@ -57,15 +116,23 @@ def window_score_udf(num_tokens: int):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    import numpy as np
+
     def fn(tpos):
         out = []
         for entries in tpos:
             pairs = []
             for e in entries:
-                qid = e["qid"]
+                qid = int(e["qid"])
                 for p in e["positions"]:
-                    pairs.append((int(p), int(qid)))
-            out.append(WINDOW_SCORE_MULTIPLIER * num_tokens / min_window(pairs, num_tokens))
+                    pairs.append((int(p), qid))
+            if len(pairs) >= _NUMPY_CUTOVER:
+                pairs.sort()
+                arr = np.asarray(pairs, dtype=np.int64)
+                w = min_window_np(arr[:, 0], arr[:, 1], num_tokens)
+            else:
+                w = min_window(pairs, num_tokens)
+            out.append(WINDOW_SCORE_MULTIPLIER * num_tokens / w)
         return pd.Series(out, dtype="float64")
 
     return F.pandas_udf(fn, T.DoubleType())

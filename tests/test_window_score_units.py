@@ -41,3 +41,26 @@ def test_combined_score_formula():
     # no covering window -> tiny but nonzero window term
     s2 = combined_score(0.25, [(0, 0)], 2)
     assert abs(s2 - (3.0 * 2 / U32_MAX + 0.25)) < 1e-12
+
+
+def test_min_window_np_equals_loop():
+    import random
+
+    import numpy as np
+
+    from search_rs_spark.operators.window_score import min_window_np
+
+    rng = random.Random(99)
+    for _ in range(500):
+        nt = rng.randint(1, 6)
+        n = rng.randint(0, 80)
+        pairs = sorted(
+            (rng.randint(0, 200), rng.randint(0, nt - 1)) for _ in range(n)
+        )
+        expected = min_window(pairs, nt)
+        if pairs:
+            arr = np.asarray(pairs, dtype=np.int64)
+            got = min_window_np(arr[:, 0], arr[:, 1], nt)
+        else:
+            got = min_window_np([], [], nt)
+        assert got == expected, (pairs, nt, got, expected)
