@@ -113,8 +113,15 @@ def _with_sig(sh: DataFrame, h: int = MINHASH_H) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, h: int = MINHASH_H) -> DataFrame:
-    """(doc_id, sig): sig[j] = min over shingles of md5('j:'||shingle)."""
-    return _with_sig(_shingled(docs), h).select("doc_id", "sig")
+    """(doc_id, sig): sig = '|'-joined minhashes, where component j is the
+    min over shingles of md5('j:'||shingle).
+
+    The signature is emitted as a single string (not ARRAY<STRING>) so
+    downstream tabular tooling — including the driver's pandas-based
+    canonicalizer, which cannot sort list-valued columns — can hash it.
+    """
+    sig = _with_sig(_shingled(docs), h)
+    return sig.select("doc_id", F.concat_ws("|", "sig").alias("sig"))
 
 
 def minhash_signatures_sql(h: int = MINHASH_H) -> str:
@@ -123,7 +130,8 @@ def minhash_signatures_sql(h: int = MINHASH_H) -> str:
     )
     return f"""
 WITH sh AS (SELECT doc_id, {_duck_shingles()} AS shingles FROM documents)
-SELECT doc_id, [{mins}] AS sig FROM sh WHERE len(shingles) > 0
+SELECT doc_id, array_to_string([{mins}], '|') AS sig
+FROM sh WHERE len(shingles) > 0
 """
 
 

@@ -107,7 +107,7 @@ WITH raw AS (
   SELECT doc_id, unnest({DUCK_TOKENS}) AS term
   FROM documents WHERE text IS NOT NULL
 ), tf AS (SELECT term, doc_id, count(*) AS tf FROM raw GROUP BY term, doc_id)
-SELECT term, count(*) AS df, sum(tf) AS total_tf,
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS total_tf,
        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM tf GROUP BY term
 """

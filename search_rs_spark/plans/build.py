@@ -75,7 +75,16 @@ def build_index(
         corpus = corpus.filter(F.col("lang") == lang)
 
     if corpus_fingerprint is None:
-        corpus_fingerprint = str(corpus.count())
+        # content digest, not just count: resuming into the same out_dir
+        # with same-cardinality but different content must not reuse
+        # stale checkpointed stages. Order-independent sums of per-row
+        # hashes make the digest partitioning-invariant.
+        agg = corpus.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("url")).alias("uh"),
+            F.sum(F.xxhash64("text")).alias("th"),
+        ).collect()[0]
+        corpus_fingerprint = f"{agg['n']}:{agg['uh']}:{agg['th']}"
     fp = fingerprint(
         {
             "corpus": corpus_fingerprint,
@@ -85,7 +94,7 @@ def build_index(
             "lang": lang,
             "block_span": block_span,
             "encode_blobs": encode_blobs,
-            "layout": 4,
+            "layout": 5,
         }
     )
     runner = StageRunner(spark, out_dir, fp, resume=resume)
@@ -260,7 +269,7 @@ def build_index_from_term_doc(
             "max_p": max_p,
             "block_span": block_span,
             "encode_blobs": encode_blobs,
-            "layout": 4,
+            "layout": 5,
         }
     )
     runner = StageRunner(spark, out_dir, fp, resume=True)

@@ -149,12 +149,14 @@ def synthesize_webtext(
 def webtext_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapter: driver testdata ``documents.parquet`` -> webtext shape.
 
-    ``url`` embeds the zero-padded doc_id so that the engine's
-    url-ordered doc-id assignment reproduces the original doc_id order.
+    ``url`` starts with the zero-padded doc_id (before ``source``, whose
+    values are not zero-padded and would break lexicographic order —
+    src1 < src10 < src2) so that the engine's url-ordered doc-id
+    assignment reproduces the original doc_id order exactly.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
-        F.format_string("https://testdata.local/%s/%012d.txt", "source", "doc_id").alias("url"),
+        F.format_string("https://testdata.local/%012d/%s.txt", "doc_id", "source").alias("url"),
         (F.lit(_EPOCH) + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
         F.encode(
             F.concat(F.lit("<html><head></head><body><p>"), F.col("text"), F.lit("</p></body></html>")),

@@ -47,7 +47,9 @@ def _normalize(rows, cols):
                 v = tuple(
                     round(x, 9) if isinstance(x, float) else x for x in list(v)
                 )
-            vals.append(v)
+            # the driver's value-hash is type-sensitive (880 != 880.0) —
+            # carry the type name so int/float divergence fails here too
+            vals.append((type(v).__name__, v))
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple(str(x) for x in t))
     return out
