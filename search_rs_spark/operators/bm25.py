@@ -71,12 +71,15 @@ def resolve_query_terms(index, query: str) -> list[tuple[int, str, int]]:
 
 
 def scored_hits(
-    index, terms: list[tuple[int, str, int]], block_ids: list[int] | None = None
+    index, terms: list[tuple[int, str, int]], blocks: DataFrame | None = None
 ) -> DataFrame:
     """Per-(doc, qid) exploded hits with bm25 contribution columns.
 
-    ``block_ids`` restricts to the given posting blocks BEFORE the
-    arrays are exploded (block-max WAND's pruned exact pass)."""
+    ``blocks`` (a block_id DataFrame) restricts to the given posting
+    blocks BEFORE the arrays are exploded (block-max WAND's pruned exact
+    pass). A broadcast LEFT SEMI join, never a literal IN-list: the
+    surviving-block set is data-dependent and can be large, and a
+    multi-thousand-literal predicate blows up plan compile time."""
     spark = index.spark
     qdf = spark.createDataFrame(
         [(qid, term, float(index.idf(df))) for qid, term, df in terms],
@@ -88,8 +91,10 @@ def scored_hits(
     postings = index.postings.filter(
         F.col("term").isin(sorted({t for _, t, _ in terms}))
     )
-    if block_ids is not None:
-        postings = postings.filter(F.col("block_id").isin(block_ids))
+    if blocks is not None:
+        postings = postings.join(
+            F.broadcast(blocks.select("block_id")), "block_id", "left_semi"
+        )
     hits = postings.join(F.broadcast(qdf), "term")
     avgdl = index.avgdl or 1.0
 
@@ -114,38 +119,83 @@ def scored_hits(
 
 
 def score_candidates(
-    index, terms: list[tuple[int, str, int]], block_ids: list[int] | None = None
+    index,
+    terms: list[tuple[int, str, int]],
+    blocks: DataFrame | None = None,
+    k: int | None = None,
+    cleanup: list | None = None,
 ) -> DataFrame:
-    """-> (doc_id, score) for every candidate doc — exact combined score.
+    """-> (doc_id, score): exact combined scores of candidate docs.
 
     Split evaluation: a doc missing any query token id has window =
     u32::MAX (mod.rs:256), so its exact score is the closed form
     ``3*nt/U32_MAX + bm_sum/dl`` — no positions shuffle, no Python.
-    Only docs containing ALL query token ids (the conjunction set,
-    typically a small fraction) aggregate their positions and run the
-    window UDF. Identical results to the naive plan, large constant
-    win on disjunctive queries.
+    Only docs containing ALL query token ids (the conjunction set)
+    aggregate their positions and run the window UDF.
+
+    ``k`` enables the two-stage top-k prefilter that bounds the
+    all-head-terms worst case (conjunction ≈ whole corpus):
+
+    - lower bound per doc, from metadata alone: a conjunction doc's
+      covering window fits inside the doc, so ``window <= dl`` and
+      ``lb = bm/dl + 3*nt/dl``; a partial doc's closed form IS exact.
+    - theta = the k-th largest lower bound (one TakeOrderedAndProject
+      over slim (doc_id, lb) rows — no positions read).
+    - upper bound per conjunction doc: ``window >= n_distinct``
+      (distinct terms occupy distinct positions; duplicate query tokens
+      share positions), so ``ub = bm/dl + 3*nt/n_distinct``. Docs with
+      ``ub < theta`` are strictly below >= k other docs' true scores
+      and are DROPPED — only survivors pay the positions shuffle and
+      the window UDF. Top-k output is provably identical.
+
+    With ``k`` set the caller must pass ``cleanup`` and unpersist its
+    entries once the result is materialized (the candidate aggregate is
+    persisted because theta and the final pass both consume it).
     """
-    from .window_score import U32_MAX, WINDOW_SCORE_MULTIPLIER
+    from .window_score import U32_MAX, WINDOW_SCORE_MULTIPLIER, window_score_flat_udf
 
     num_tokens = len(terms)
-    e = scored_hits(index, terms, block_ids=block_ids)
+    n_distinct = len({t for _, t, _ in terms})
+    e = scored_hits(index, terms, blocks=blocks)
     flags = e.groupBy("doc_id", "dl").agg(
         F.sum("bm").alias("bm_sum"), F.countDistinct("qid").alias("nq_present")
     )
     eps = WINDOW_SCORE_MULTIPLIER * num_tokens / U32_MAX
-    partial = flags.filter(F.col("nq_present") < num_tokens).select(
-        "doc_id",
-        (F.lit(eps) + BM25_SCORE_MULTIPLIER * F.col("bm_sum") / F.col("dl")).alias(
-            "score"
-        ),
+    bm_norm = BM25_SCORE_MULTIPLIER * F.col("bm_sum") / F.col("dl")
+    is_conj = F.col("nq_present") == num_tokens
+
+    if k is not None:
+        assert cleanup is not None, "k-pruned scoring needs a cleanup list"
+        flags = flags.persist()
+        cleanup.append(flags)
+        lb = flags.select(
+            "doc_id",
+            (
+                bm_norm
+                + F.when(
+                    is_conj,
+                    F.lit(WINDOW_SCORE_MULTIPLIER * num_tokens) / F.col("dl"),
+                ).otherwise(F.lit(eps))
+            ).alias("lb"),
+        )
+        kth = lb.orderBy(F.desc("lb"), F.asc("doc_id")).limit(k).collect()
+        theta = kth[-1]["lb"] if len(kth) >= k else float("-inf")
+        conj = flags.filter(
+            is_conj
+            & (
+                bm_norm + F.lit(WINDOW_SCORE_MULTIPLIER * num_tokens / n_distinct)
+                >= F.lit(theta)
+            )
+        )
+    else:
+        conj = flags.filter(is_conj)
+
+    partial = flags.filter(~is_conj).select(
+        "doc_id", (F.lit(eps) + bm_norm).alias("score")
     )
-    conj = flags.filter(F.col("nq_present") == num_tokens)
     # flat aligned (qid, pos) arrays per doc: two collect_lists in one
     # aggregate see rows in the same order, and Arrow hands flat int
     # arrays to numpy with no per-element Python objects
-    from .window_score import window_score_flat_udf
-
     tpos = (
         e.join(conj.select("doc_id"), "doc_id", "left_semi")
         .select("doc_id", "qid", F.explode("positions").alias("p"))
@@ -159,27 +209,49 @@ def score_candidates(
         "doc_id",
         (
             window_score_flat_udf(num_tokens)(F.col("qids"), F.col("ps"))
-            + BM25_SCORE_MULTIPLIER * F.col("bm_sum") / F.col("dl")
+            + bm_norm
         ).alias("score"),
     )
     return partial.unionAll(conj_scored)
 
 
-def free_query(index, query: str, k: int = NUM_RESULTS) -> DataFrame:
-    """-> DataFrame (doc_id, url, score), score-desc / doc_id-asc, k rows."""
-    terms = resolve_query_terms(index, query)
+TOPK_SCHEMA = "doc_id bigint, score double"
+
+
+def materialize_topk(index, rows) -> DataFrame:
+    """k winner rows (driver-side) -> (doc_id, url, score) DataFrame."""
     spark = index.spark
-    if not terms:
-        return (
-            index.doc_lengths.select("doc_id", "url", F.lit(0.0).alias("score")).limit(0)
-        )
-    topk = (
-        score_candidates(index, terms)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
+    topk = spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in rows], TOPK_SCHEMA
     )
     return (
         index.doc_lengths.join(F.broadcast(topk), "doc_id")
         .select("doc_id", "url", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def free_query(index, query: str, k: int = NUM_RESULTS) -> DataFrame:
+    """-> DataFrame (doc_id, url, score), score-desc / doc_id-asc, k rows.
+
+    Eager: the k winners are materialized inside the call (they are the
+    only rows that ever reach the driver) so the two-stage prefilter's
+    persisted candidate aggregate can be released deterministically.
+    """
+    terms = resolve_query_terms(index, query)
+    if not terms:
+        return (
+            index.doc_lengths.select("doc_id", "url", F.lit(0.0).alias("score")).limit(0)
+        )
+    cleanup: list = []
+    try:
+        rows = (
+            score_candidates(index, terms, k=k, cleanup=cleanup)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+    finally:
+        for c in cleanup:
+            c.unpersist(blocking=False)
+    return materialize_topk(index, rows)

@@ -68,13 +68,31 @@ def _term_doc_ids(index, term: str) -> DataFrame:
 
 
 def _not_operator(index, operand: DataFrame) -> DataFrame:
+    """Complement with the empty-input quirk (postings.rs:179-188),
+    decided INSIDE the plan — no eager emptiness probe, so a NOT node
+    costs zero extra Spark jobs:
+
+    - non-empty operand: complement over 0..n-1 (postings.rs:188-198)
+    - empty operand:     1..=n — includes the out-of-range id n and
+                         excludes 0 (postings.rs:179-181)
+
+    One extended universe 0..n is anti-joined (a no-op for the empty
+    case), then a broadcast 1-row count picks the branch per row.
+    """
     spark = index.spark
     n = index.num_docs
-    if operand.limit(1).count() == 0:
-        # quirk: empty input -> 1..=n (postings.rs:179-181)
-        return spark.range(1, n + 1).select(F.col("id").alias("doc_id"))
-    universe = spark.range(0, n).select(F.col("id").alias("doc_id"))
-    return universe.join(operand, "doc_id", "left_anti")
+    cnt = operand.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        spark.range(0, n + 1)
+        .select(F.col("id").alias("doc_id"))
+        .join(operand, "doc_id", "left_anti")
+        .crossJoin(F.broadcast(cnt))
+        .filter(
+            ((F.col("_n") > 0) & (F.col("doc_id") < n))
+            | ((F.col("_n") == 0) & (F.col("doc_id") >= 1))
+        )
+        .select("doc_id")
+    )
 
 
 def boolean_query(index, query: str) -> DataFrame:

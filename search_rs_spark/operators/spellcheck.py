@@ -93,9 +93,13 @@ class DriverVocabulary:
 def spellcheck_distributed(vocabulary: DataFrame, terms: list[str]) -> dict[str, str | None]:
     """DataFrame spellcheck for vocabularies too large for the driver.
 
-    Same semantics as :meth:`DriverVocabulary.spellcheck_term`; the
-    tie-break ``min_by (lev, -df, term_id)`` matches the first-minimum
-    rule because candidates are scanned in term_id order there.
+    Same semantics as :meth:`DriverVocabulary.spellcheck_term`,
+    including the exact tie-break: the reference scans candidates in
+    (query-trigram position, then term_id within a trigram's posting
+    list) order and keeps the FIRST strict minimum of ``(lev, -df)``
+    (vocabulary.rs:103-131), so equal-key ties resolve by
+    ``(first matching trigram position in the query term, term_id)`` —
+    reproduced here as ``min_by (lev, -df, first_tg, term_id)``.
     """
     spark = vocabulary.sparkSession
     probe = spark.createDataFrame([(t,) for t in terms], ["q_term"])
@@ -111,13 +115,13 @@ def spellcheck_distributed(vocabulary: DataFrame, terms: list[str]) -> dict[str,
     if not missing:
         return out
 
-    q = spark.createDataFrame([(t,) for t in missing], ["q_term"]).withColumn(
-        "q_tg",
-        F.explode(
+    q = spark.createDataFrame([(t,) for t in missing], ["q_term"]).select(
+        "q_term",
+        F.posexplode(
             F.expr(
                 "transform(sequence(0, length(q_term) - 3), i -> substring(q_term, i + 1, 3))"
             )
-        ),
+        ).alias("tg_pos", "q_tg"),
     )
     v_tg = vocabulary.filter(F.length("term") >= 3).withColumn(
         "v_tg",
@@ -128,13 +132,23 @@ def spellcheck_distributed(vocabulary: DataFrame, terms: list[str]) -> dict[str,
 
     cand = (
         q.join(v_tg, q.q_tg == v_tg.v_tg)
-        .select("q_term", "term", "df", "term_id")
-        .dropDuplicates(["q_term", "term"])
+        .groupBy("q_term", "term")
+        .agg(
+            F.min("tg_pos").alias("first_tg"),
+            F.first("df").alias("df"),
+            F.first("term_id").alias("term_id"),
+        )
         .withColumn("lev", F.levenshtein("q_term", "term"))
     )
     best = cand.groupBy("q_term").agg(
         F.min_by(
-            F.col("term"), F.struct(F.col("lev"), (-F.col("df")).alias("ndf"), F.col("term_id"))
+            F.col("term"),
+            F.struct(
+                F.col("lev"),
+                (-F.col("df")).alias("ndf"),
+                F.col("first_tg"),
+                F.col("term_id"),
+            ),
         ).alias("best")
     )
     for r in best.collect():

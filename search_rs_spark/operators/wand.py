@@ -11,47 +11,60 @@ Upper bound per doc-id block span (build-time metadata, zero array
 reads — the postings arrays are column-pruned away in the bound pass):
 
     ub(span) = sum over query terms present in the span of
-               idf_t * block_max_t            (block_max folds /doc_len)
-             + 3.0                            if ALL distinct query terms
+               idf_t * mult_t * block_max_t   (block_max folds /doc_len)
+             + 3.0 * num_tokens / n_distinct  if ALL distinct query terms
                                               have postings in the span
-             + 3.0 * num_tokens / 2^32 - ish  otherwise (window stays
+             + 3.0 * num_tokens / 2^32        otherwise (window stays
                                               u32::MAX -> epsilon bonus)
 
-Exact-top-k protocol (two bounded passes, both distributed):
-1. score exactly the spans with the largest ub until >= 4k candidate
-   docs are covered; take the running k-th best score as theta;
-2. exactly score every remaining span with ub > theta (provably the
-   only spans that could alter the top-k), merge, and take the top-k.
+The all-terms-present window bonus is ``3.0 * num_tokens / n_distinct``,
+NOT a flat 3.0: duplicate query tokens (e.g. "the the time") share
+positions, so the minimal covering window can be as small as the number
+of DISTINCT terms, and the true window component reaches
+``3.0 * num_tokens / n_distinct`` (= 3.0 only when all tokens are
+distinct). A flat 3.0 would under-bound duplicate-token queries and
+make pruning unsafe.
+
+Exact-top-k protocol (two bounded passes, fully distributed — no
+full-metadata collect, no literal IN-lists):
+1. the coverage set = highest-ub spans whose cumulative doc coverage
+   reaches COVERAGE_FACTOR * k, picked via distributed top-N
+   (TakeOrderedAndProject over at most COVERAGE_FACTOR*k slim rows —
+   every span holds >= 1 doc, so the top COVERAGE_FACTOR*k spans always
+   suffice) + a cumulative-sum window over that bounded set; score those
+   spans exactly and take the running k-th best score as theta (the only
+   driver-side value: k winner rows);
+2. exactly score every remaining span with ub >= theta (provably the
+   only spans that could alter the top-k) via a broadcast anti/semi
+   join on the block-id DataFrames, merge, and take the top-k.
 
 Safety: every doc's true score <= its span's ub, so a span with
-ub <= theta cannot contribute a doc above the k-th best.
+ub < theta cannot contribute a doc at or above the k-th best
+(>= keeps spans that could win a doc_id tie-break at exactly theta).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .bm25 import resolve_query_terms, score_candidates
+from .bm25 import materialize_topk, resolve_query_terms, score_candidates
 from .window_score import U32_MAX, WINDOW_SCORE_MULTIPLIER
 
 COVERAGE_FACTOR = 4
 
 
-def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
-    """Rank-identical to operators.bm25.free_query, with block pruning."""
-    terms = resolve_query_terms(index, query)
+def span_upper_bounds(index, terms: list[tuple[int, str, int]]) -> DataFrame:
+    """(block_id, ub, max_docs) for every doc-id span touched by the
+    query terms — metadata columns only, arrays never read."""
     spark = index.spark
-    if not terms:
-        return (
-            index.doc_lengths.select("doc_id", "url", F.lit(0.0).alias("score")).limit(0)
-        )
     num_tokens = len(terms)
     distinct_terms = {t for _, t, _ in terms}
     n_distinct = len(distinct_terms)
 
     # duplicate query tokens score the same term twice (mod.rs:152-179),
-    # so the bound carries a multiplicity per distinct term
+    # so the bm25 side of the bound carries a multiplicity per distinct
+    # term and the window side caps at num_tokens / n_distinct
     mult: dict[str, int] = {}
     idf_by_term: dict[str, float] = {}
     for _, t, d in terms:
@@ -61,13 +74,12 @@ def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
         [(t, idf_by_term[t], mult[t]) for t in mult], ["term", "idf", "mult"]
     )
 
-    # ---- pass 0: block metadata only (arrays pruned by parquet reader) ----
     meta = (
         index.postings.select("term", "block_id", "df_block", "block_max")
         .filter(F.col("term").isin(sorted(distinct_terms)))
         .join(F.broadcast(qdf), "term")
     )
-    span_ub = meta.groupBy("block_id").agg(
+    return meta.groupBy("block_id").agg(
         F.sum(F.col("idf") * F.col("block_max") * F.col("mult")).alias("ub_bm"),
         F.countDistinct("term").alias("n_terms"),
         F.max("df_block").alias("max_docs"),
@@ -76,45 +88,69 @@ def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
         F.col("ub_bm")
         + F.when(
             F.col("n_terms") == n_distinct,
-            F.lit(WINDOW_SCORE_MULTIPLIER * 1.0),
+            F.lit(WINDOW_SCORE_MULTIPLIER * num_tokens / n_distinct),
         ).otherwise(F.lit(WINDOW_SCORE_MULTIPLIER * num_tokens / U32_MAX)),
-    )
+    ).select("block_id", "ub", "max_docs")
 
-    spans = span_ub.select("block_id", "ub", "max_docs").orderBy(F.desc("ub")).collect()
-    if not spans:
+
+def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
+    """Rank-identical to operators.bm25.free_query, with block pruning."""
+    terms = resolve_query_terms(index, query)
+    if not terms:
         return (
             index.doc_lengths.select("doc_id", "url", F.lit(0.0).alias("score")).limit(0)
         )
 
-    first_ids = []
-    covered = 0
-    for r in spans:
-        first_ids.append(r["block_id"])
-        covered += r["max_docs"]
-        if covered >= COVERAGE_FACTOR * k:
-            break
-    ub_by_block = {r["block_id"]: r["ub"] for r in spans}
+    span_ub = span_upper_bounds(index, terms)
 
-    def exact_scores(block_ids: list[int]) -> DataFrame:
-        return score_candidates(index, terms, block_ids=block_ids)
-
-    first = exact_scores(first_ids)
-    first_top = first.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-    if len(first_top) >= k:
-        theta = first_top[-1]["score"]
-    else:
-        theta = float("-inf")
-
-    # >= (not >): a doc could score exactly ub and win a doc_id tie-break
-    first_set = set(first_ids)
-    remaining = [b for b in ub_by_block if b not in first_set and ub_by_block[b] >= theta]
-    if remaining:
-        scored = first.unionAll(exact_scores(remaining))
-    else:
-        scored = first
-    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    return (
-        index.doc_lengths.join(F.broadcast(topk), "doc_id")
-        .select("doc_id", "url", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+    # ---- pass 1: coverage set, picked distributedly -----------------------
+    # top-N by ub is bounded by COVERAGE_FACTOR*k rows (each span covers
+    # >= 1 doc), so the cumulative-sum window below runs over a tiny,
+    # driver-independent set; blocks stay in DataFrames end to end.
+    target = COVERAGE_FACTOR * k
+    cand = span_ub.orderBy(F.desc("ub"), F.asc("block_id")).limit(target)
+    w = (
+        Window.orderBy(F.desc("ub"), F.asc("block_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    first_blocks = (
+        cand.withColumn("cum", F.sum("max_docs").over(w))
+        .filter(F.col("cum") - F.col("max_docs") < target)
+        .select("block_id")
+    )
+
+    cleanup: list = []
+    try:
+        first_top = (
+            score_candidates(index, terms, blocks=first_blocks, k=k, cleanup=cleanup)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        theta = first_top[-1]["score"] if len(first_top) >= k else float("-inf")
+
+        # ---- pass 2: every other span that could still alter the top-k ----
+        # >= (not >): a doc could score exactly theta and win a doc_id
+        # tie-break. Each pass's own doc-level prefilter (k) only drops
+        # docs provably below >= k docs of the SAME pass, so the merged
+        # top-k stays exact.
+        remaining = (
+            span_ub.filter(F.col("ub") >= F.lit(theta))
+            .join(first_blocks, "block_id", "left_anti")
+            .select("block_id")
+        )
+        second_top = (
+            score_candidates(index, terms, blocks=remaining, k=k, cleanup=cleanup)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+    finally:
+        for c in cleanup:
+            c.unpersist(blocking=False)
+
+    merged = sorted(
+        list(first_top) + list(second_top),
+        key=lambda r: (-r["score"], r["doc_id"]),
+    )[:k]
+    return materialize_topk(index, merged)

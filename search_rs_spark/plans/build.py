@@ -81,8 +81,10 @@ def build_index(
         # hashes make the digest partitioning-invariant.
         agg = corpus.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("url")).alias("uh"),
-            F.sum(F.xxhash64("text")).alias("th"),
+            # decimal(38,0) accumulator: a long sum of 64-bit hashes
+            # overflows under ANSI mode
+            F.sum(F.xxhash64("url").cast("decimal(38,0)")).alias("uh"),
+            F.sum(F.xxhash64("text").cast("decimal(38,0)")).alias("th"),
         ).collect()[0]
         corpus_fingerprint = f"{agg['n']}:{agg['uh']}:{agg['th']}"
     fp = fingerprint(
@@ -106,9 +108,12 @@ def build_index(
     from pyspark.sql import Observation
 
     obs_holder: list[Observation] = []
+    persists: list = []
 
     def make_tokens():
-        ranked = with_global_rank(corpus.select("url", "text"), "url", "doc_id")
+        ranked = with_global_rank(
+            corpus.select("url", "text"), "url", "doc_id", persist_tracker=persists
+        )
         toks = ranked.select(
             "doc_id", "url", tokens_udf(stem)(F.col("text")).alias("tokens")
         ).withColumn("doc_len", F.size("tokens"))
@@ -119,6 +124,9 @@ def build_index(
         )
 
     tokens = runner.run("tokens", make_tokens)
+    for p in persists:  # the checkpoint write above materialized the stage
+        p.unpersist(blocking=False)
+    persists.clear()
 
     # -- stats ---------------------------------------------------------------
     if runner.is_done("stats"):
@@ -182,14 +190,21 @@ def _build_downstream(runner, spark, term_doc, stats, min_f, block_span, encode_
     """vocabulary (B8/B9) + blocked postings (B10) from a term_doc table —
     shared by the batch build and the streaming-delta finalizer."""
 
+    persists: list = []
+
     def make_vocab():
         dfc = term_doc.groupBy("term").agg(F.count(F.lit(1)).cast("int").alias("df"))
         kept = dfc.filter(
             (F.col("df") <= F.lit(stats["df_threshold"])) & (F.col("df") > F.lit(min_f))
         )
-        return with_global_rank(kept, "term", "term_id").select("term", "term_id", "df")
+        return with_global_rank(
+            kept, "term", "term_id", persist_tracker=persists
+        ).select("term", "term_id", "df")
 
     vocab = runner.run("vocabulary", make_vocab)
+    for p in persists:
+        p.unpersist(blocking=False)
+    persists.clear()
 
     def make_postings():
         avgdl = stats["avgdl"] or 1.0

