@@ -14,15 +14,25 @@ signature per doc (bit-majority over token hashes).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text_analysis import DUCK_TOKENS, SPARK_TOKENS
 
+log = logging.getLogger("search_rs_spark.dedup")
+
 SHINGLE_K = 3
 MINHASH_H = 8  # hash functions
 MINHASH_BANDS = 4  # -> rows per band r = H / BANDS = 2
 JACCARD_THRESHOLD = 0.5
+# degenerate-bucket guard: a (band, band_sig) bucket with more members
+# than this goes quadratic in the candidate self-join (boilerplate /
+# empty-ish docs sharing one signature on a real web corpus); such
+# buckets are dropped with a warning. EXACT duplicates are the job of
+# exact_dedup (one hash aggregation), not LSH.
+MAX_BAND_BUCKET = 10_000
 
 
 # ---------------------------------------------------------------------------
@@ -140,9 +150,14 @@ def minhash_lsh_pairs(
     h: int = MINHASH_H,
     bands: int = MINHASH_BANDS,
     threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): near-dup pairs via banded LSH candidates
-    verified with exact Jaccard over distinct shingles."""
+    verified with exact Jaccard over distinct shingles.
+
+    ``max_bucket`` drops degenerate (band, band_sig) buckets larger
+    than the cap before the self-join (logged), bounding the candidate
+    set; ``None`` disables the guard."""
     r = h // bands
     # consumed three times (signatures + both sides of the verify join)
     sh = _shingled(docs).persist()
@@ -166,6 +181,33 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_sig")
+
+    if max_bucket is not None:
+        oversized = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .filter(F.col("bucket_n") > max_bucket)
+        )
+        # eager slim probe: when no bucket is degenerate (the normal
+        # case) the plan below stays untouched — no anti-join added
+        over_rows = oversized.limit(1001).collect()
+        if over_rows:
+            suffix = "+" if len(over_rows) > 1000 else ""
+            log.warning(
+                "minhash_lsh_pairs: dropping %d%s degenerate band buckets "
+                "(> %d members; largest seen %d) — near-dup recall inside "
+                "those buckets is lost; run exact_dedup first for exact "
+                "duplicates",
+                len(over_rows),
+                suffix,
+                max_bucket,
+                max(x["bucket_n"] for x in over_rows),
+            )
+            banded = banded.join(
+                F.broadcast(oversized.select("band", "band_sig")),
+                ["band", "band_sig"],
+                "left_anti",
+            )
 
     a = banded.alias("a")
     b = banded.alias("b")

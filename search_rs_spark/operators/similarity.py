@@ -149,41 +149,28 @@ def lsh_bucket_expr(col, planes: list[list[float]]):
     return F.concat(*bits)
 
 
-def lsh_bucketed_topk(
-    emb: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    n_planes: int = 4,
-    probe_bits: int = 2,
-    exclude_vec_id: int | None = None,
-) -> DataFrame:
-    """Approximate top-k: multiprobe the query's LSH bucket and every
-    bucket within ``probe_bits`` Hamming distance. At scale the bucket
-    id is a partition key, so a probe reads only the probed buckets'
-    partitions; raise ``n_planes`` as the corpus grows to keep the
-    probed fraction ~constant."""
+def probe_buckets(
+    query_vec: list[float], planes: list[list[float]], probe_bits: int
+) -> list[str]:
+    """The query's LSH bucket plus every bucket within ``probe_bits``
+    Hamming distance (multiprobe set)."""
     import itertools
 
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes)
-
-    def bucket_of(vec: list[float]) -> str:
-        bits = ""
-        for plane in planes:
-            bits += "1" if sum(p * float(v) for p, v in zip(plane, vec)) >= 0 else "0"
-        return bits
-
-    qb = bucket_of(query_vec)
+    qb = ""
+    for plane in planes:
+        qb += "1" if sum(p * float(v) for p, v in zip(plane, query_vec)) >= 0 else "0"
     probe = {qb}
+    n_planes = len(planes)
     for r in range(1, probe_bits + 1):
         for flips in itertools.combinations(range(n_planes), r):
             b = list(qb)
             for i in flips:
                 b[i] = "0" if b[i] == "1" else "1"
             probe.add("".join(b))
+    return sorted(probe)
 
-    bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
-    cand = bucketed.filter(F.col("bucket").isin(*sorted(probe)))
+
+def _cosine_topk(cand: DataFrame, query_vec: list[float], k: int, exclude_vec_id):
     if exclude_vec_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_vec_id)
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
@@ -200,3 +187,75 @@ def lsh_bucketed_topk(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    probe_bits: int = 2,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: multiprobe the query's LSH bucket and every
+    bucket within ``probe_bits`` Hamming distance, computing buckets on
+    the fly (one full pass). The SCALE path is the materialized layout
+    (:func:`write_bucketed_embeddings` + :func:`lsh_bucketed_topk_layout`),
+    where a probe reads only the probed buckets' partitions."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes)
+    probe = probe_buckets(query_vec, planes, probe_bits)
+    bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    cand = bucketed.filter(F.col("bucket").isin(*probe))
+    return _cosine_topk(cand, query_vec, k, exclude_vec_id)
+
+
+# ---------------------------------------------------------------------------
+# Materialized bucket-partitioned ANN layout: write once, probe many.
+# ---------------------------------------------------------------------------
+
+ANN_META = "_ANN_META.json"
+
+
+def write_bucketed_embeddings(
+    emb: DataFrame, out_dir: str, n_planes: int = 4, seed: int = 13
+) -> dict:
+    """Persist embeddings PARTITIONED BY their LSH bucket — the storage
+    side the probe path assumes at scale. Each bucket becomes a
+    parquet partition directory, so Catalyst partition-prunes a probe
+    down to the probed buckets' files; every other bucket's data is
+    never read. Raise ``n_planes`` as the corpus grows to keep the
+    per-bucket partition size bounded (buckets halve per plane)."""
+    import json
+    import os
+
+    dim = len(emb.select("embedding").head()["embedding"])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+    meta = {"n_planes": n_planes, "seed": seed, "dim": dim}
+    with open(os.path.join(out_dir, ANN_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def lsh_bucketed_topk_layout(
+    spark,
+    out_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    probe_bits: int = 2,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k over a :func:`write_bucketed_embeddings`
+    layout. The bucket filter is a PARTITION filter — only the probed
+    bucket directories are scanned (plan-pinned in tests)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, ANN_META)) as f:
+        meta = json.load(f)
+    planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    probe = probe_buckets(query_vec, planes, probe_bits)
+    cand = spark.read.parquet(out_dir).filter(F.col("bucket").isin(*probe))
+    return _cosine_topk(cand, query_vec, k, exclude_vec_id)

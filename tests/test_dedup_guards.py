@@ -1,0 +1,73 @@
+"""Scale guards on the dedup operators: degenerate LSH band buckets
+(e.g. thousands of identical boilerplate docs sharing one band
+signature) must be dropped — bounding the candidate self-join — while
+ordinary near-dup buckets keep working."""
+
+import logging
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from search_rs_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+
+@pytest.fixture(scope="module")
+def boilerplate_corpus(spark):
+    """1000 identical docs + one genuine near-dup pair + filler."""
+    rows = [(i, "copyright notice all rights reserved contact us terms")
+            for i in range(1000)]
+    # jaccard 0.7, collides on band 2 (verified offline against the
+    # operator's md5 scheme)
+    rows.append((2000, "the quick brown fox jumps over the lazy dog today "
+                       "while birds sing in the tall green trees outside"))
+    rows.append((2001, "the quick brown fox jumps over the lazy cat today "
+                       "while birds sing in the tall green trees outside"))
+    rows.append((2002, "completely unrelated text about spark query engines"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_degenerate_buckets_are_capped_and_logged(spark, boilerplate_corpus, caplog):
+    with caplog.at_level(logging.WARNING, logger="search_rs_spark.dedup"):
+        pairs = minhash_lsh_pairs(
+            boilerplate_corpus, threshold=0.5, max_bucket=50
+        ).collect()
+    assert any("degenerate band buckets" in r.message for r in caplog.records)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # the boilerplate flood is excluded (its buckets exceed the cap) ...
+    assert not any(a < 1000 and b < 1000 for a, b in got)
+    # ... but the genuine near-dup pair in its own small bucket survives
+    assert (2000, 2001) in got
+
+
+def test_uncapped_flood_is_quadratic_and_exact_dedup_owns_it(spark, boilerplate_corpus):
+    """Without the cap the identical docs would produce ~500k candidate
+    pairs; exact_dedup collapses them in one aggregation instead."""
+    small = boilerplate_corpus.filter(
+        (F.col("doc_id") < 40) | (F.col("doc_id") >= 2000)
+    )
+    uncapped = minhash_lsh_pairs(small, threshold=0.5, max_bucket=None).collect()
+    flood_pairs = [(r["doc_a"], r["doc_b"]) for r in uncapped
+                   if r["doc_a"] < 1000 and r["doc_b"] < 1000]
+    assert len(flood_pairs) == 40 * 39 // 2  # quadratic in bucket size
+
+    dd = exact_dedup(boilerplate_corpus)
+    groups = dd.filter(F.col("group_n") > 1).select("keep_doc_id").distinct().collect()
+    assert len(groups) == 1  # one duplicate group, min doc kept
+    dup_n = dd.filter(F.col("is_duplicate")).count()
+    assert dup_n == 999
+
+
+def test_cap_never_fires_on_the_oracle_corpus(spark, sf_dir, caplog):
+    """The default cap must not perturb the driver-oracle corpus: no
+    bucket there comes near MAX_BAND_BUCKET, so results are identical
+    with and without the guard."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with caplog.at_level(logging.WARNING, logger="search_rs_spark.dedup"):
+        capped = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert not any("degenerate" in r.message for r in caplog.records)
+    raw = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, max_bucket=None).collect()
+    }
+    assert capped == raw
