@@ -152,7 +152,7 @@ def score_candidates(
     entries once the result is materialized (the candidate aggregate is
     persisted because theta and the final pass both consume it).
     """
-    from .window_score import U32_MAX, WINDOW_SCORE_MULTIPLIER, window_score_flat_udf
+    from .window_score import U32_MAX, WINDOW_SCORE_MULTIPLIER
 
     num_tokens = len(terms)
     n_distinct = len({t for _, t, _ in terms})
@@ -193,22 +193,26 @@ def score_candidates(
     partial = flags.filter(~is_conj).select(
         "doc_id", (F.lit(eps) + bm_norm).alias("score")
     )
-    # flat aligned (qid, pos) arrays per doc: two collect_lists in one
-    # aggregate see rows in the same order, and Arrow hands flat int
-    # arrays to numpy with no per-element Python objects
+    # aligned (qid, positions-array) lists per doc: two collect_lists in
+    # one aggregate see rows in the same order. The position ARRAYS ride
+    # the shuffle unexploded (a handful of rows per doc instead of one
+    # row per position); the UDF flattens them with numpy concatenate +
+    # repeat — no per-position Python objects, no per-position shuffle
+    # rows.
+    from .window_score import window_score_nested_udf
+
     tpos = (
         e.join(conj.select("doc_id"), "doc_id", "left_semi")
-        .select("doc_id", "qid", F.explode("positions").alias("p"))
         .groupBy("doc_id")
         .agg(
             F.collect_list("qid").alias("qids"),
-            F.collect_list("p").alias("ps"),
+            F.collect_list("positions").alias("ps"),
         )
     )
     conj_scored = conj.join(tpos, "doc_id").select(
         "doc_id",
         (
-            window_score_flat_udf(num_tokens)(F.col("qids"), F.col("ps"))
+            window_score_nested_udf(num_tokens)(F.col("qids"), F.col("ps"))
             + bm_norm
         ).alias("score"),
     )

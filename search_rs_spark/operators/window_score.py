@@ -109,6 +109,44 @@ def window_score_flat_udf(num_tokens: int):
     return F.pandas_udf(fn, T.DoubleType())
 
 
+def window_score_nested_udf(num_tokens: int):
+    """pandas UDF over per-term rows: (qids array<int>, positions
+    array<array<int>>) -> 3*nt/window.
+
+    The fast path for large candidate sets: upstream groups the
+    per-(doc, qid) POSITION ARRAYS as-is (a handful of rows per doc)
+    instead of exploding every position through the shuffle — same
+    bytes, ~tf× fewer shuffle rows. numpy flattens via concatenate +
+    repeat, so no per-position Python objects."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def fn(qids, positions):
+        out = []
+        for q_arr, p_arrs in zip(qids, positions):
+            lens = [len(p) for p in p_arrs]
+            total = sum(lens)
+            if total >= _NUMPY_CUTOVER:
+                p = np.concatenate([np.asarray(x, dtype=np.int64) for x in p_arrs])
+                q = np.repeat(np.asarray(q_arr, dtype=np.int64), lens)
+                order = np.lexsort((q, p))
+                w = min_window_np(p[order], q[order], num_tokens)
+            else:
+                pairs = sorted(
+                    (int(p), int(q))
+                    for q, ps in zip(q_arr, p_arrs)
+                    for p in ps
+                )
+                w = min_window(pairs, num_tokens)
+            out.append(WINDOW_SCORE_MULTIPLIER * num_tokens / w)
+        return pd.Series(out, dtype="float64")
+
+    return F.pandas_udf(fn, T.DoubleType())
+
+
 def window_score_udf(num_tokens: int):
     """pandas UDF: array<struct<qid int, positions array<int>>> -> double
     (the 3.0 * num_tokens / window term only)."""
