@@ -8,6 +8,9 @@
       "b: <query>" routes to the boolean engine (main.rs:109-114).
   python -m search_rs_spark export <index_dir> <out_prefix>
       writes reference-format idx.{postings,offsets,alphas,docs}.
+  python -m search_rs_spark serve <index_dir> [port]
+      web server (GET /, POST /query, 'b: ' routing, LRU-10 cache),
+      mirroring server/src/main.rs over the driver-local engine.
 
 Results print as `score path` lines plus a time stamp, like the
 reference CLI (main.rs:29-33). A small LRU keyed by the raw query
@@ -56,6 +59,13 @@ def main(argv: list[str]) -> int:
         print(__doc__)
         return 2
     action = argv[1]
+
+    if action == "serve":  # no Spark session needed — driver-local engine
+        from .server import main as serve_main
+
+        serve_main(argv[2], int(argv[3]) if len(argv) > 3 else 3000)
+        return 0
+
     spark = get_spark(app=f"search_rs_spark_{action}")
 
     if action == "build":
