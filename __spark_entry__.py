@@ -5,12 +5,14 @@ corpus (documents.parquet adapted to the webtext shape) and run the
 full stemmed BM25+window free-text query.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-family (SURVEY.md §2 + training-data ops): 22 queries, 18 of them
+family (SURVEY.md §2 + training-data ops): 23 queries, 18 of them
 DuckDB-oracle-checked. SQL-expressible operators use the no-stem
 tokenizer so DuckDB computes identical values; the stemmed full
-engine, window score, multimodal plumbing, and LSH-ANN are rows-only
-checks (no oracle_sql entry) and are instead pinned by pytest against
-the pure-Python reference oracle (see PARITY.md).
+engine, window score, multimodal plumbing, and the two LSH-ANN paths
+(on-the-fly and the materialized bucket-partitioned layout) are
+rows-only checks (no oracle_sql entry) and are instead pinned by
+pytest against the pure-Python reference oracle / brute-force recall
+(see PARITY.md).
 """
 
 from __future__ import annotations
@@ -42,6 +44,24 @@ def _query_vec(sf_dir: str) -> list[float]:
         f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' WHERE vec_id = 0"
     ).fetchone()
     return [float(x) for x in row[0]]
+
+
+_ANN_CACHE: dict[str, str] = {}
+
+
+def _ann_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Bucket-partitioned embeddings layout in /tmp, built once per sf."""
+    from search_rs_spark.operators.similarity import ANN_META, write_bucketed_embeddings
+
+    if sf_dir not in _ANN_CACHE:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "srs_ann_" + sf_dir.strip("/").replace("/", "_"),
+        )
+        if not os.path.exists(os.path.join(out, ANN_META)):
+            write_bucketed_embeddings(_emb(spark, sf_dir), out)
+        _ANN_CACHE[sf_dir] = out
+    return _ANN_CACHE[sf_dir]
 
 
 def _index(spark: SparkSession, sf_dir: str):
@@ -123,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_cosine_pairs"] = lambda s, d: similarity.cosine_pairs(_emb(s, d))
     q["sim_lsh_topk"] = lambda s, d: similarity.lsh_bucketed_topk(
         _emb(s, d), _query_vec(d), k=10, exclude_vec_id=0
+    )
+    q["sim_lsh_topk_layout"] = lambda s, d: similarity.lsh_bucketed_topk_layout(
+        s, _ann_layout(s, d), _query_vec(d), k=10, exclude_vec_id=0
     )
 
     # multimodal plumbing (stub decode; rows-only)

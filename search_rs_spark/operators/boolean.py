@@ -81,7 +81,9 @@ def _not_operator(index, operand: DataFrame) -> DataFrame:
     """
     spark = index.spark
     n = index.num_docs
-    cnt = operand.agg(F.count(F.lit(1)).alias("_n"))
+    # limit(1) keeps the gate O(1): CollectLimit early-exits instead of
+    # counting the whole operand
+    cnt = operand.limit(1).agg(F.count(F.lit(1)).alias("_n"))
     return (
         spark.range(0, n + 1)
         .select(F.col("id").alias("doc_id"))

@@ -181,6 +181,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_sig")
+    # consumed up to three times (cap probe + both self-join sides);
+    # slim (4 rows/doc), so cache it rather than recompute signatures
+    banded = banded.persist()
 
     if max_bucket is not None:
         oversized = (

@@ -80,7 +80,13 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatch {mismatches[0]}"
 
 
-ROWS_ONLY = ["engine_free_query", "engine_boolean_query", "mm_decode_metadata", "sim_lsh_topk"]
+ROWS_ONLY = [
+    "engine_free_query",
+    "engine_boolean_query",
+    "mm_decode_metadata",
+    "sim_lsh_topk",
+    "sim_lsh_topk_layout",
+]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

@@ -58,7 +58,8 @@ def test_wand_empty_query(wand_index):
 
 @pytest.mark.parametrize("q,k", QUERIES)
 def test_two_stage_prefilter_is_lossless(wand_index, q, k):
-    """free_query's doc-level lb/ub prefilter must reproduce the fully
+    """The doc-level lb/ub prefilter (forced on — the auto threshold
+    would skip it at this corpus size) must reproduce the fully
     exhaustive (unpruned) scoring's top-k exactly."""
     from search_rs_spark.operators.bm25 import resolve_query_terms, score_candidates
 
@@ -69,7 +70,16 @@ def test_two_stage_prefilter_is_lossless(wand_index, q, k):
         .limit(k)
         .collect()
     )
-    pruned = free_query(wand_index, q, k).collect()
+    cleanup = []
+    pruned = (
+        score_candidates(wand_index, terms, k=k, cleanup=cleanup, prefilter=True)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    for c in cleanup:
+        c.unpersist(blocking=False)
+    assert cleanup, "prefilter did not engage"
     assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in exhaustive]
     for p, e in zip(pruned, exhaustive):
         assert math.isclose(p["score"], e["score"], rel_tol=1e-9)
