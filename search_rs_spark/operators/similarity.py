@@ -210,6 +210,85 @@ def lsh_bucketed_topk(
     return _cosine_topk(cand, query_vec, k, exclude_vec_id)
 
 
+def cosine_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 3,
+    seed: int = 13,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """(vec_a, vec_b, cos): embedding near-dup pairs at scale — the LSH
+    candidate path for what :func:`cosine_pairs` verifies exhaustively.
+
+    ``n_tables`` independent hyperplane sets each bucket every vector;
+    candidate pairs share a bucket in >= 1 table (for cosine >= 0.95,
+    per-table collision ~ (1 - arccos(0.95)/pi)^n_planes ~ 0.66, so 3
+    tables give ~96% recall); candidates are deduped and verified with
+    exact cosine, so precision is 1.0 by construction. ``max_bucket``
+    drops degenerate buckets (e.g. zero-ish embeddings) before the
+    self-join, same guard as dedup.minhash_lsh_pairs.
+    """
+    d = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+
+    tables = []
+    dim = len(emb.select("embedding").head()["embedding"])
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        tables.append(
+            d.select(
+                "vec_id",
+                F.lit(t).alias("table"),
+                lsh_bucket_expr(F.col("v"), planes).alias("bucket"),
+            )
+        )
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionAll(t)
+    bucketed = bucketed.persist()
+
+    if max_bucket is not None:
+        oversized = (
+            bucketed.groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .filter(F.col("bucket_n") > max_bucket)
+        )
+        bucketed = bucketed.join(
+            F.broadcast(oversized.select("table", "bucket")),
+            ["table", "bucket"],
+            "left_anti",
+        )
+
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    with_vecs = cand.join(
+        d.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")),
+        "vec_a",
+    ).join(
+        d.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")),
+        "vec_b",
+    )
+    return with_vecs.select(
+        "vec_a",
+        "vec_b",
+        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+            "cos"
+        ),
+    ).filter(F.col("cos") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # Materialized bucket-partitioned ANN layout: write once, probe many.
 # ---------------------------------------------------------------------------

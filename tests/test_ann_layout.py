@@ -39,6 +39,43 @@ def test_layout_matches_on_the_fly_path(spark, layout):
     assert len(exact & {v for v, _ in lay}) >= 5  # recall floor
 
 
+def test_cosine_lsh_pairs_precision_and_recall(spark):
+    """LSH near-dup pairs on planted duplicates: every returned pair is
+    exact-verified (precision 1.0) and multi-table hashing recovers
+    most planted pairs."""
+    import math
+    import random
+
+    from search_rs_spark.operators.similarity import cosine_lsh_pairs, cosine_pairs
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    base_vecs = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        base_vecs.append(v)
+        rows.append((i, v, 0))
+    # plant 8 near-dups: id 1000+i is a tiny perturbation of id i
+    planted = []
+    for i in range(8):
+        v = [x + rng.gauss(0, 0.02) for x in base_vecs[i]]
+        rows.append((1000 + i, v, 0))
+        planted.append((i, 1000 + i))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_pairs(emb, threshold=0.95, max_vec_id=None).collect()
+    }
+    assert set(planted) <= exact  # the plants really are near-dups
+
+    got = {(r["vec_a"], r["vec_b"]) for r in cosine_lsh_pairs(emb, 0.95).collect()}
+    assert got <= exact  # precision 1.0 (exact-verified)
+    recall = len(got & set(planted)) / len(planted)
+    assert recall >= 0.75, (recall, sorted(got), sorted(planted))
+
+
 def test_probe_scan_is_partition_pruned(spark, layout):
     out, meta = layout
     qv = entrymod._query_vec(SF_DIR)
