@@ -176,7 +176,7 @@ def run_scaling(sf_dir: str) -> dict:
             % (repo, cores, cores, corpus_dir)
         )
         r = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=5400
         )
         for line in r.stdout.splitlines():
             if line.startswith("ELAPSED"):

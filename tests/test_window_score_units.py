@@ -43,6 +43,39 @@ def test_combined_score_formula():
     assert abs(s2 - (3.0 * 2 / U32_MAX + 0.25)) < 1e-12
 
 
+def test_nested_flatten_equals_pairwise():
+    """The nested-array UDF's flatten (concatenate + repeat + lexsort)
+    must agree with the pairwise two-pointer on random per-term
+    position groups — the exact shape score_candidates ships."""
+    import random
+
+    import numpy as np
+
+    from search_rs_spark.operators.window_score import min_window_np
+
+    rng = random.Random(41)
+    for _ in range(300):
+        nt = rng.randint(1, 5)
+        qids, parrs, pairs = [], [], []
+        for qid in range(nt):
+            if rng.random() < 0.15:
+                continue  # term absent -> non-covering case
+            pos = sorted(rng.sample(range(120), rng.randint(1, 12)))
+            qids.append(qid)
+            parrs.append(pos)
+            pairs.extend((p, qid) for p in pos)
+        expected = min_window(sorted(pairs), nt)
+        if parrs:
+            lens = [len(p) for p in parrs]
+            p = np.concatenate([np.asarray(x, dtype=np.int64) for x in parrs])
+            q = np.repeat(np.asarray(qids, dtype=np.int64), lens)
+            order = np.lexsort((q, p))
+            got = min_window_np(p[order], q[order], nt)
+        else:
+            got = U32_MAX
+        assert got == expected, (qids, parrs, nt, got, expected)
+
+
 def test_min_window_np_equals_loop():
     import random
 
