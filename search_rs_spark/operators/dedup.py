@@ -280,6 +280,114 @@ WHERE len(list_intersect(sh_a, sh_b))::DOUBLE / len(list_distinct(sh_a || sh_b))
 
 
 # ---------------------------------------------------------------------------
+# near-duplicate clusters: connected components over the LSH pair graph
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    h: int = MINHASH_H,
+    bands: int = MINHASH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int | None = MAX_BAND_BUCKET,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_rep, is_duplicate): every document labeled with
+    the minimum doc_id of its near-duplicate connected component
+    (transitive closure of :func:`minhash_lsh_pairs` edges; singletons
+    represent themselves). A training pipeline keeps ``cluster_rep``
+    rows and drops the rest — pairwise output alone under-removes when
+    A~B and B~C but A/C never candidate together.
+
+    Min-label propagation over the symmetric edge list: each round a
+    node takes the min of its own and its neighbors' labels — a join +
+    groupBy per round, converging in O(cluster diameter) rounds
+    (near-dup clusters are shallow; the degenerate deep-chain case is
+    exactly what ``max_bucket`` already bounds). Convergence is
+    detected by the strictly-decreasing label sum — one tiny aggregate
+    per round, no row-level diff join.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, h=h, bands=bands, threshold=threshold, max_bucket=max_bucket
+    ).select("doc_a", "doc_b")
+    sym = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("rep", F.col("doc_id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("rep").cast("decimal(38,0)").alias("s")).collect()[0]["s"]
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(labels["rep"], F.coalesce(neigh["nrep"], labels["rep"])).alias(
+                    "rep"
+                ),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(
+            F.sum("rep").cast("decimal(38,0)").alias("s")
+        ).collect()[0]["s"]
+        labels.unpersist(blocking=False)
+        labels = new_labels
+        if new_sum == prev_sum:  # labels only decrease: equal sum = fixpoint
+            break
+        prev_sum = new_sum
+
+    out = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rep"), F.col("doc_id")).alias("cluster_rep"),
+            (F.coalesce(F.col("rep"), F.col("doc_id")) != F.col("doc_id")).alias(
+                "is_duplicate"
+            ),
+        )
+    )
+    sym.unpersist(blocking=False)
+    return out
+
+
+def duplicate_clusters_sql(
+    h: int = MINHASH_H, bands: int = MINHASH_BANDS, threshold: float = JACCARD_THRESHOLD
+) -> str:
+    """DuckDB oracle: transitive closure via a recursive CTE over the
+    same LSH pair graph, rep = min doc_id reachable (incl. self)."""
+    pairs_sql = minhash_lsh_pairs_sql(h=h, bands=bands, threshold=threshold)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({pairs_sql}) t
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       coalesce(c.rep, d.doc_id) AS cluster_rep,
+       d.doc_id <> coalesce(c.rep, d.doc_id) AS is_duplicate
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # direct n-gram Jaccard (bounded pairwise — the exact-verification
 # primitive; LSH above is the scale path for candidate generation)
 # ---------------------------------------------------------------------------

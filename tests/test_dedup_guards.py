@@ -58,6 +58,37 @@ def test_uncapped_flood_is_quadratic_and_exact_dedup_owns_it(spark, boilerplate_
     assert dup_n == 999
 
 
+def test_duplicate_clusters_are_transitive(spark):
+    """A~B and B~C must land in one cluster even when A/C never share a
+    band bucket — the pairwise output alone under-removes that case."""
+    from search_rs_spark.operators.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango").split()
+    mid = list(base)
+    mid[3], mid[16] = "uniform", "victor"  # B: differs from A in 2 spots
+    far = list(mid)
+    far[8], far[12] = "whiskey", "xray"  # C: differs from B in 2 more
+    texts = {0: " ".join(base), 1: " ".join(mid), 2: " ".join(far)}
+    rows = [(i, t) for i, t in texts.items()]
+    rows += [(10 + i, f"unrelated document number {i} about spark engines "
+                      f"and parquet tables variant {i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and (1, 2) in pairs
+
+    got = {r["doc_id"]: (r["cluster_rep"], r["is_duplicate"])
+           for r in duplicate_clusters(docs, threshold=0.5).collect()}
+    assert got[0] == (0, False)
+    assert got[1] == (0, True)
+    assert got[2] == (0, True)  # transitive even if (0,2) not a pair
+    for i in range(5):
+        assert got[10 + i] == (10 + i, False)  # singletons self-represent
+
+
 def test_cap_never_fires_on_the_oracle_corpus(spark, sf_dir, caplog):
     """The default cap must not perturb the driver-oracle corpus: no
     bucket there comes near MAX_BAND_BUCKET, so results are identical
