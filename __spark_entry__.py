@@ -5,7 +5,7 @@ corpus (documents.parquet adapted to the webtext shape) and run the
 full stemmed BM25+window free-text query.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-family (SURVEY.md §2 + training-data ops): 24 queries, 19 of them
+family (SURVEY.md §2 + training-data ops): 25 queries, 20 of them
 DuckDB-oracle-checked. SQL-expressible operators use the no-stem
 tokenizer so DuckDB computes identical values; the stemmed full
 engine, window score, multimodal plumbing, and the two LSH-ANN paths
@@ -135,6 +135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dd_lsh_pairs"] = lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d))
     q["dd_simhash"] = lambda s, d: dedup.simhash_signatures(_docs(s, d))
     q["dd_dup_clusters"] = lambda s, d: dedup.duplicate_clusters(_docs(s, d))
+
+    # composed keep/drop pipeline decision
+    from search_rs_spark.operators.corpus_filter import corpus_filter
+
+    q["cf_corpus_filter"] = lambda s, d: corpus_filter(_docs(s, d))
     q["dd_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
 
     # similarity search
@@ -188,6 +193,9 @@ def oracle_sql() -> dict[str, str]:
         "dd_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
         "dd_simhash": dedup.simhash_signatures_sql(),
         "dd_dup_clusters": dedup.duplicate_clusters_sql(),
+        "cf_corpus_filter": __import__(
+            "search_rs_spark.operators.corpus_filter", fromlist=["corpus_filter_sql"]
+        ).corpus_filter_sql(),
         "dd_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "sim_cosine_topk": similarity.cosine_topk_sql(qv, k=10, exclude_vec_id=0),
         "sim_cosine_pairs": similarity.cosine_pairs_sql(),
