@@ -5,11 +5,11 @@ corpus (documents.parquet adapted to the webtext shape) and run the
 full stemmed BM25+window free-text query.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-family (SURVEY.md §2 + training-data ops): 25 queries, 20 of them
+family (SURVEY.md §2 + training-data ops): 28 queries, 22 of them
 DuckDB-oracle-checked. SQL-expressible operators use the no-stem
 tokenizer so DuckDB computes identical values; the stemmed full
-engine, window score, multimodal plumbing, and the two LSH-ANN paths
-(on-the-fly and the materialized bucket-partitioned layout) are
+engine, window score, multimodal plumbing, and the three materialized
+/ on-the-fly ANN probe paths (LSH flat, LSH layout, IVF layout) are
 rows-only checks (no oracle_sql entry) and are instead pinned by
 pytest against the pure-Python reference oracle / brute-force recall
 (see PARITY.md).
@@ -62,6 +62,24 @@ def _ann_layout(spark: SparkSession, sf_dir: str) -> str:
             write_bucketed_embeddings(_emb(spark, sf_dir), out)
         _ANN_CACHE[sf_dir] = out
     return _ANN_CACHE[sf_dir]
+
+
+_IVF_CACHE: dict[str, str] = {}
+
+
+def _ivf_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Centroid-partitioned embeddings layout in /tmp, built once per sf."""
+    from search_rs_spark.operators.ivf import IVF_META, write_ivf_layout
+
+    if sf_dir not in _IVF_CACHE:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "srs_ivf_" + sf_dir.strip("/").replace("/", "_"),
+        )
+        if not os.path.exists(os.path.join(out, IVF_META)):
+            write_ivf_layout(_emb(spark, sf_dir), out)
+        _IVF_CACHE[sf_dir] = out
+    return _IVF_CACHE[sf_dir]
 
 
 def _index(spark: SparkSession, sf_dir: str):
@@ -154,6 +172,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _ann_layout(s, d), _query_vec(d), k=10, exclude_vec_id=0
     )
 
+    # IVF: the second ANN scale path (centroid-partitioned inverted lists)
+    from search_rs_spark.operators import ivf
+
+    q["sim_ivf_assign"] = lambda s, d: ivf.ivf_assign(_emb(s, d))
+    q["sim_ivf_topk"] = lambda s, d: ivf.ivf_topk(
+        _emb(s, d), _query_vec(d), k=10, exclude_vec_id=0
+    )
+    q["sim_ivf_topk_layout"] = lambda s, d: ivf.ivf_topk_layout(
+        s, _ivf_layout(s, d), _query_vec(d), k=10, exclude_vec_id=0
+    )
+
     # multimodal plumbing (stub decode; rows-only)
     q["mm_decode_metadata"] = lambda s, d: decode_metadata(fake_assets(s, 500))
 
@@ -173,7 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from search_rs_spark.functions import text_analysis as ta
-    from search_rs_spark.operators import dedup, similarity, sql_parity as sp
+    from search_rs_spark.operators import dedup, ivf, similarity, sql_parity as sp
 
     qv = _query_vec("/root/testdata/sf0.01")
     return {
@@ -199,4 +228,6 @@ def oracle_sql() -> dict[str, str]:
         "dd_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "sim_cosine_topk": similarity.cosine_topk_sql(qv, k=10, exclude_vec_id=0),
         "sim_cosine_pairs": similarity.cosine_pairs_sql(),
+        "sim_ivf_assign": ivf.ivf_assign_sql(),
+        "sim_ivf_topk": ivf.ivf_topk_sql(qv, k=10, exclude_vec_id=0),
     }

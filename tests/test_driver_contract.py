@@ -86,6 +86,7 @@ ROWS_ONLY = [
     "mm_decode_metadata",
     "sim_lsh_topk",
     "sim_lsh_topk_layout",
+    "sim_ivf_topk_layout",
 ]
 
 
