@@ -5,7 +5,7 @@ corpus (documents.parquet adapted to the webtext shape) and run the
 full stemmed BM25+window free-text query.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-family (SURVEY.md §2 + training-data ops): 28 queries, 22 of them
+family (SURVEY.md §2 + training-data ops): 30 queries, 24 of them
 DuckDB-oracle-checked. SQL-expressible operators use the no-stem
 tokenizer so DuckDB computes identical values; the stemmed full
 engine, window score, multimodal plumbing, and the three materialized
@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ta_lang_id"] = lambda s, d: ta.lang_id(_docs(s, d))
     q["ta_quality"] = lambda s, d: ta.quality_scores(_docs(s, d))
     q["ta_fingerprints"] = lambda s, d: ta.fingerprints(_docs(s, d))
+    q["ta_bpe_tokens"] = lambda s, d: ta.bpe_token_counts(_docs(s, d))
+    q["ta_winnow"] = lambda s, d: ta.winnow_fingerprints(_docs(s, d))
 
     # deduplication
     q["dd_exact"] = lambda s, d: dedup.exact_dedup(_docs(s, d))
@@ -217,6 +219,8 @@ def oracle_sql() -> dict[str, str]:
         "ta_lang_id": ta.lang_id_sql(),
         "ta_quality": ta.QUALITY_SQL,
         "ta_fingerprints": ta.FINGERPRINTS_SQL,
+        "ta_bpe_tokens": ta.BPE_TOKEN_COUNTS_SQL,
+        "ta_winnow": ta.winnow_fingerprints_sql(),
         "dd_exact": dedup.EXACT_DEDUP_SQL,
         "dd_minhash_sig": dedup.minhash_signatures_sql(),
         "dd_lsh_pairs": dedup.minhash_lsh_pairs_sql(),

@@ -222,3 +222,126 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 FINGERPRINTS_SQL = f"""
 SELECT doc_id, md5(array_to_string({DUCK_TOKENS}, ' ')) AS fp FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (pretokenizer piece statistics)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer classes without lookaheads (portable to both
+# Java regex and DuckDB's RE2): letter runs, digit runs, punctuation runs
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]+"
+_BPE_RE_DUCK = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_pieces, n_punct_pieces, pieces_per_ws_token)
+    — whitespace token count plus BPE-ish pretokenizer piece statistics
+    (letter runs / digit runs / punctuation runs of the lowercased
+    text). ``pieces_per_ws_token`` is the fertility proxy a tokenizer
+    budget estimate needs. Pure column expressions; scales freely."""
+    ws = F.expr("regexp_extract_all(text, '\\\\S+', 0)")
+    pieces = F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")
+    punct = F.filter(pieces, lambda p: p.rlike("^[^a-z0-9]+$"))
+    n_ws = F.size(ws).cast("long")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(punct).cast("long").alias("n_punct_pieces"),
+        F.round(
+            F.coalesce(
+                F.size(pieces).cast("double") / F.nullif(n_ws, F.lit(0)), F.lit(0.0)
+            ),
+            6,
+        ).alias("pieces_per_ws_token"),
+    )
+
+
+BPE_TOKEN_COUNTS_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE_RE_DUCK}')) AS n_pieces,
+       len(list_filter(regexp_extract_all(lower(text), '{_BPE_RE_DUCK}'),
+                       p -> regexp_full_match(p, '[^a-z0-9]+'))) AS n_punct_pieces,
+       round(coalesce(
+           len(regexp_extract_all(lower(text), '{_BPE_RE_DUCK}'))::DOUBLE
+           / nullif(len(regexp_extract_all(text, '\S+')), 0),
+           0.0::DOUBLE), 6)::DOUBLE AS pieces_per_ws_token
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling k-gram hash, min-per-window selection)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8  # k-gram length over the normalized token stream
+WINNOW_W = 4  # window of consecutive k-gram hashes; keep the min of each
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, fp) — winnowing document fingerprints (Schleimer et al.,
+    MOSS): hash every character k-gram of the normalized token stream,
+    slide a window of ``w`` consecutive hashes, keep each window's
+    minimum (ties -> leftmost), emit the distinct selected hashes.
+
+    Guarantees any shared substring of length >= k+w-1 contributes at
+    least one common fingerprint — the standard local document sketch
+    for plagiarism/near-dup detection.
+
+    Plan shape: one md5 per k-gram inside a single projection (the
+    gram array is built once per row — a slice-per-window array form
+    would re-evaluate the gram expression per window, going quadratic),
+    then posexplode + a doc_id-partitioned sliding ``min`` window.
+    Rows shuffled = characters scanned, partitioned by doc_id and
+    bounded per doc by document length, so the window state never
+    exceeds one document. Ties break leftmost because md5 hex is
+    fixed-width, making lexicographic min == min by (hash, pos).
+    Texts shorter than k yield no rows.
+    """
+    from pyspark.sql import Window
+
+    s = F.concat_ws(" ", F.expr(SPARK_TOKENS))
+    d = docs.select("doc_id", s.alias("txt"))
+    n_g = F.greatest(F.length("txt") - F.lit(k - 1), F.lit(0))
+    grams = F.when(
+        n_g > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_g),
+            lambda i: F.md5(F.col("txt").substr(i, F.lit(k))),
+        ),
+    )
+    g = d.select("doc_id", F.posexplode(grams).alias("pos", "h"))
+    hp = F.concat("h", F.lit("|"), F.lpad((F.col("pos") + 1).cast("string"), 12, "0"))
+    by_doc = Window.partitionBy("doc_id")
+    sliding = by_doc.orderBy("pos").rowsBetween(0, w - 1)
+    sel = g.select(
+        "doc_id",
+        "pos",
+        F.min(hp).over(sliding).alias("sel"),
+        F.count(F.lit(1)).over(by_doc).alias("n_g"),
+    ).filter(F.col("pos") + 1 <= F.greatest(F.col("n_g") - F.lit(w - 1), F.lit(1)))
+    return sel.select("doc_id", F.substring("sel", 1, 32).alias("fp")).distinct()
+
+
+def winnow_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, array_to_string({DUCK_TOKENS}, ' ') AS txt FROM documents
+), g AS (
+  SELECT doc_id,
+         md5(substr(txt, i, {k})) || '|' || lpad(i::VARCHAR, 12, '0') AS hp,
+         i
+  FROM s, UNNEST(generate_series(1, len(txt) - {k - 1})) AS t(i)
+), win AS (
+  SELECT doc_id, i,
+         min(hp) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel,
+         count(*) OVER (PARTITION BY doc_id) AS n_g
+  FROM g
+)
+SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fp
+FROM win
+WHERE i <= greatest(n_g - {w - 1}, 1)
+"""
