@@ -5,7 +5,7 @@ corpus (documents.parquet adapted to the webtext shape) and run the
 full stemmed BM25+window free-text query.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-family (SURVEY.md §2 + training-data ops): 30 queries, 24 of them
+family (SURVEY.md §2 + training-data ops): 32 queries, 24 of them
 DuckDB-oracle-checked. SQL-expressible operators use the no-stem
 tokenizer so DuckDB computes identical values; the stemmed full
 engine, window score, multimodal plumbing, and the three materialized
@@ -185,8 +185,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _ivf_layout(s, d), _query_vec(d), k=10, exclude_vec_id=0
     )
 
-    # multimodal plumbing (stub decode; rows-only)
+    # multimodal plumbing (stub kernels; rows-only)
+    from search_rs_spark.operators.multimodal import extract_features, resize_assets
+
     q["mm_decode_metadata"] = lambda s, d: decode_metadata(fake_assets(s, 500))
+    q["mm_resize_metadata"] = lambda s, d: decode_metadata(
+        resize_assets(fake_assets(s, 500), max_side=32)
+    )
+    q["mm_features"] = lambda s, d: extract_features(fake_assets(s, 500))
 
     def _wrap(fn):
         def run(s: SparkSession, d: str) -> DataFrame:

@@ -121,6 +121,86 @@ def decode_metadata(assets: DataFrame) -> DataFrame:
     return assets.repartition(F.col("asset_id")).mapInPandas(fn, schema=META_SCHEMA)
 
 
+def resize_assets(assets: DataFrame, max_side: int = 32) -> DataFrame:
+    """Arrow-batched resize: payloads whose decoded dims exceed
+    ``max_side`` are rewritten with proportionally scaled dims (aspect
+    preserved, floor, min 1). STUB pixel kernel — the body is truncated
+    to the new w*h instead of resampled (a real deployment swaps in
+    PIL's ``Image.resize`` with the same UDF signature and batch
+    shape); the header/metadata contract is real and re-decodable.
+    Invalid payloads pass through unchanged."""
+
+    def fn(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"asset_id": pdf["asset_id"], "kind": pdf["kind"], "payload": []}
+            for p in pdf["payload"]:
+                raw = bytes(p) if p is not None else None
+                meta = _decode_stub(raw)
+                if meta is None:
+                    out["payload"].append(raw)
+                    continue
+                w, h, nf = meta
+                if max(w, h) <= max_side:
+                    out["payload"].append(raw)
+                    continue
+                scale = max_side / max(w, h)
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                body = raw[16 : 16 + nw * nh]  # STUB: truncate, not resample
+                out["payload"].append(pack_header(nw, nh, nf) + body)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(fn, schema=ASSET_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """(asset_id, kind, embedding ARRAY<FLOAT>) — deterministic feature
+    vectors from the payload bytes. STUB featurizer (blake2b of the
+    payload expanded to ``dim`` floats in [-1, 1]; a real deployment
+    swaps in a CLIP/audio encoder with the same signature), but the
+    output column is contract-real: it feeds the similarity/IVF/LSH
+    ANN operators directly (vec_id <- asset_id), which is the whole
+    point of the plumbing. Invalid payloads get a null embedding."""
+
+    def fn(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            embs = []
+            for p in pdf["payload"]:
+                raw = bytes(p) if p is not None else None
+                if _decode_stub(raw) is None:
+                    embs.append(None)
+                    continue
+                buf = b""
+                j = 0
+                while len(buf) < 4 * dim:
+                    buf += hashlib.blake2b(raw + bytes([j]), digest_size=32).digest()
+                    j += 1
+                u = np.frombuffer(buf[: 4 * dim], dtype=np.uint32).astype(np.float64)
+                embs.append((u / np.float64(2**31) - 1.0).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "kind": pdf["kind"], "embedding": embs}
+            )
+
+    return assets.mapInPandas(fn, schema=FEATURES_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 5) -> DataFrame:
     """(asset_id, frame_idx) sampling plan for video assets — the
     explode that a real frame extractor would map over."""

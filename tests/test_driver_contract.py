@@ -84,6 +84,8 @@ ROWS_ONLY = [
     "engine_free_query",
     "engine_boolean_query",
     "mm_decode_metadata",
+    "mm_resize_metadata",
+    "mm_features",
     "sim_lsh_topk",
     "sim_lsh_topk_layout",
     "sim_ivf_topk_layout",

@@ -1,0 +1,98 @@
+"""Multimodal plumbing: decode, resize, frame sampling, feature
+extraction, and the composition into the ANN operators."""
+
+from pyspark.sql import functions as F
+
+from search_rs_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_metadata,
+    extract_features,
+    fake_assets,
+    frame_sample_plan,
+    pack_header,
+    resize_assets,
+)
+
+
+def test_decode_metadata_shapes(spark):
+    meta = decode_metadata(fake_assets(spark, 60)).collect()
+    assert len(meta) == 60
+    assert all(r["valid"] for r in meta)
+    kinds = {r["kind"] for r in meta}
+    assert kinds == {"image", "audio", "video"}
+    for r in meta:
+        assert 16 <= r["width"] <= 79 and 16 <= r["height"] <= 79
+        assert r["payload_bytes"] == 16 + r["width"] * r["height"]
+        if r["kind"] == "image":
+            assert r["n_frames"] == 1
+
+
+def test_decode_invalid_payload(spark):
+    import datetime
+
+    rows = [(0, "image", None), (1, "image", b"short"), (2, "image", b"XXXX" + b"\0" * 20)]
+    d = spark.createDataFrame(rows, "asset_id long, kind string, payload binary")
+    meta = {r["asset_id"]: r for r in decode_metadata(d).collect()}
+    assert not any(meta[i]["valid"] for i in range(3))
+
+
+def test_resize_bounds_and_aspect(spark):
+    assets = fake_assets(spark, 60)
+    before = {r["asset_id"]: r for r in decode_metadata(assets).collect()}
+    after = {r["asset_id"]: r for r in decode_metadata(resize_assets(assets, 32)).collect()}
+    assert set(before) == set(after)
+    for aid, b in before.items():
+        a = after[aid]
+        assert a["valid"]
+        assert max(a["width"], a["height"]) <= 32
+        if max(b["width"], b["height"]) <= 32:  # untouched
+            assert (a["width"], a["height"]) == (b["width"], b["height"])
+        else:  # exact scale contract: floor(dim * 32/max_dim), min 1
+            assert a["n_frames"] == b["n_frames"]
+            scale = 32 / max(b["width"], b["height"])
+            assert a["width"] == max(1, int(b["width"] * scale))
+            assert a["height"] == max(1, int(b["height"] * scale))
+        assert a["payload_bytes"] == 16 + a["width"] * a["height"]
+
+
+def test_frame_sample_plan(spark):
+    assets = fake_assets(spark, 60)
+    meta = {
+        r["asset_id"]: r["n_frames"]
+        for r in decode_metadata(assets).filter(F.col("kind") == "video").collect()
+    }
+    plan: dict[int, list[int]] = {}
+    for r in frame_sample_plan(assets, every_n=5).collect():
+        plan.setdefault(r["asset_id"], []).append(r["frame_idx"])
+    assert set(plan) == set(meta)
+    for aid, frames in plan.items():
+        assert sorted(frames) == list(range(0, meta[aid], 5))
+
+
+def test_features_deterministic_and_feed_ann(spark):
+    assets = fake_assets(spark, 60)
+    f1 = {r["asset_id"]: r["embedding"] for r in extract_features(assets).collect()}
+    f2 = {r["asset_id"]: r["embedding"] for r in extract_features(assets).collect()}
+    assert f1 == f2
+    assert all(len(v) == FEATURE_DIM for v in f1.values())
+    assert all(any(abs(x) > 1e-6 for x in v) for v in f1.values())
+
+    # composition: asset features are a drop-in embeddings table for the
+    # ANN operators (vec_id <- asset_id)
+    from search_rs_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = extract_features(assets).select(
+        F.col("asset_id").alias("vec_id"), F.col("kind").alias("label"), "embedding"
+    )
+    top = cosine_topk_bruteforce(emb, f1[0], k=5, exclude_vec_id=0).collect()
+    assert len(top) == 5
+    assert all(-1.0 <= r["cos"] <= 1.0 for r in top)
+
+
+def test_features_null_for_invalid(spark):
+    d = spark.createDataFrame(
+        [(0, "image", b"bogus"), (1, "image", pack_header(4, 4, 1) + b"\1" * 16)],
+        "asset_id long, kind string, payload binary",
+    )
+    out = {r["asset_id"]: r["embedding"] for r in extract_features(d).collect()}
+    assert out[0] is None and out[1] is not None
