@@ -5,7 +5,7 @@ corpus (documents.parquet adapted to the webtext shape) and run the
 full stemmed BM25+window free-text query.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-family (SURVEY.md §2 + training-data ops): 32 queries, 24 of them
+family (SURVEY.md §2 + training-data ops): 33 queries, 24 of them
 DuckDB-oracle-checked. SQL-expressible operators use the no-stem
 tokenizer so DuckDB computes identical values; the stemmed full
 engine, window score, multimodal plumbing, and the three materialized
@@ -139,6 +139,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["engine_boolean_query"] = lambda s, d: boolean_query(
         _index(s, d), "data AND query AND NOT join"
+    )
+
+    # block-max WAND pruned top-k (rank-identical to engine_free_query;
+    # pinned by tests/test_wand.py rank-identity suites)
+    from search_rs_spark.operators.wand import free_query_wand
+
+    q["engine_wand_query"] = lambda s, d: free_query_wand(
+        _index(s, d), "spark data query performance", k=50
     )
 
     # text analysis

@@ -108,6 +108,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     ):
         timed(f"free_q{i + 1}", lambda rep, q=q: free_query(idx, q, k=100).collect())
 
+    from search_rs_spark.operators.wand import free_query_wand
+
+    timed(
+        "wand_q1",
+        lambda rep: free_query_wand(idx, "spark data query", k=100).collect(),
+    )
+
     timed(
         "boolean_q1",
         lambda rep: boolean_query(idx, "data AND query AND NOT join").collect(),

@@ -83,6 +83,8 @@ def ivf_assign(emb: DataFrame, n_centroids: int = IVF_N_CENTROIDS) -> DataFrame:
 def assign_with_centroids(
     emb: DataFrame, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:
+    """(vec_id, centroid_id, cos) against explicit centroids (e.g. the
+    output of :func:`kmeans_refine`)."""
     d = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -227,9 +229,13 @@ def write_ivf_layout(
     import os
 
     centroids = seed_centroids(emb, n_centroids)
-    assigned = emb.join(
-        ivf_assign(emb, n_centroids).select("vec_id", "centroid_id"), "vec_id"
-    )
+    # assignment inline on the scan (centroid literals) — no join, no
+    # shuffle; the only data movement is the partitioned write itself
+    d = emb.withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    ).withColumn("n", _norm(F.col("v")))
+    best = _assign_expr(F.col("v"), F.col("n"), centroids)
+    assigned = d.withColumn("centroid_id", -best["neg_cid"]).drop("v", "n")
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(out_dir)
     meta = {"n_centroids": n_centroids, "centroids": centroids}
     with open(os.path.join(out_dir, IVF_META), "w") as f:

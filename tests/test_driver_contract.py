@@ -83,6 +83,7 @@ def test_query_matches_oracle(spark, duck, name):
 ROWS_ONLY = [
     "engine_free_query",
     "engine_boolean_query",
+    "engine_wand_query",
     "mm_decode_metadata",
     "mm_resize_metadata",
     "mm_features",
