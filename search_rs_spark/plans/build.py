@@ -102,9 +102,15 @@ def build_index(
     runner = StageRunner(spark, out_dir, fp, resume=resume)
 
     # -- tokens: doc-id assignment fused with the tokenize pass (B3/B5/B6) --
-    # with_global_rank range-partitions by url, so the output is already
-    # globally sorted by doc_id — written as-is (tight row-group stats,
-    # no extra shuffle); build stats ride along as a zero-job Observation
+    # doc ids are ranked over the SLIM url column only (the two-pass
+    # rank needs a persisted intermediate — caching urls is kilobytes
+    # per million docs where caching full text was the corpus), then
+    # joined back to the text: the text still moves through exactly one
+    # shuffle (the join exchange instead of the old range exchange), and
+    # AQE broadcasts the rank side while it fits. Output file order is
+    # join order, not doc_id order — no consumer assumes physical order
+    # (export sorts explicitly; doc_lengths/term_doc are order-free).
+    # Build stats ride along as a zero-job Observation.
     from pyspark.sql import Observation
 
     obs_holder: list[Observation] = []
@@ -112,9 +118,9 @@ def build_index(
 
     def make_tokens():
         ranked = with_global_rank(
-            corpus.select("url", "text"), "url", "doc_id", persist_tracker=persists
+            corpus.select("url"), "url", "doc_id", persist_tracker=persists
         )
-        toks = ranked.select(
+        toks = corpus.join(ranked, "url").select(
             "doc_id", "url", tokens_udf(stem)(F.col("text")).alias("tokens")
         ).withColumn("doc_len", F.size("tokens"))
         obs = Observation("build_stats")

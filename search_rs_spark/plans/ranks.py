@@ -7,20 +7,27 @@ NOT be a global single-partition ``row_number() OVER (ORDER BY x)`` —
 that serializes the whole table through one task at scale. Instead:
 
 1. ``repartitionByRange`` on the order key (disjoint sorted ranges),
-2. a narrow per-partition index via ``mapInPandas``,
+2. a narrow per-partition index via ``monotonically_increasing_id``
+   (which by contract packs the partition id into the upper bits and a
+   per-partition record counter into the lower 33 — evaluated over the
+   in-partition-sorted stream, so the counter IS the local sort index;
+   pure JVM, no Python workers, no Arrow round-trip of the payload),
 3. per-partition offsets = prefix sums of partition counts (a tiny
    P-row aggregate, broadcast-joined back).
 
 The resulting rank equals the global sort rank regardless of partition
-boundaries, so the output is identical at any parallelism level
-(requires the order key to be unique, which holds for urls and terms).
+boundaries (AQE may coalesce adjacent range partitions — adjacent
+ranges stay disjoint and ordered, so offsets still line up), so the
+output is identical at any parallelism level (requires the order key
+to be unique, which holds for urls and terms).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+_LOCAL_BITS = 33  # monotonically_increasing_id: record counter width
 
 
 def with_global_rank(
@@ -33,10 +40,12 @@ def with_global_rank(
     """Add a dense 0-based global rank by ``order_col`` (must be unique).
 
     ``persist_tracker``: the ranked intermediate is persisted because
-    two consumers (the offsets aggregate and the final join) share it;
-    callers that materialize the result exactly once (e.g. a checkpoint
-    write) should pass a list and ``unpersist()`` its entries afterwards
-    so the cache doesn't outlive the stage."""
+    two consumers (the offsets aggregate and the final join) share it —
+    and because ``monotonically_increasing_id`` must be computed exactly
+    once (recomputation under a different partition layout would be
+    nondeterministic). Callers that materialize the result exactly once
+    (e.g. a checkpoint write) should pass a list and ``unpersist()`` its
+    entries afterwards so the cache doesn't outlive the stage."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -45,27 +54,18 @@ def with_global_rank(
         order_col
     )
 
-    out_schema = T.StructType(
-        list(df.schema.fields)
-        + [
-            T.StructField("_pid", T.IntegerType(), False),
-            T.StructField("_local_idx", T.LongType(), False),
-        ]
+    # one nondeterministic expression instance, decomposed afterwards
+    # (CollapseProject never inlines a multiply-referenced
+    # nondeterministic column, so _mid is evaluated exactly once, over
+    # the sorted stream)
+    indexed = (
+        parted.withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright(F.col("_mid"), _LOCAL_BITS).cast("int"))
+        .withColumn(
+            "_local_idx", F.col("_mid").bitwiseAND(F.lit((1 << _LOCAL_BITS) - 1))
+        )
+        .drop("_mid")
     )
-
-    def add_local(it):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        offset = 0
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["_pid"] = pid
-            pdf["_local_idx"] = range(offset, offset + len(pdf))
-            offset += len(pdf)
-            yield pdf
-
-    indexed = parted.mapInPandas(add_local, schema=out_schema)
     # the offsets aggregate and the final join both consume `indexed`;
     # persist so the upstream sort/scan runs once
     indexed = indexed.persist()
