@@ -102,14 +102,16 @@ def build_index(
     runner = StageRunner(spark, out_dir, fp, resume=resume)
 
     # -- tokens: doc-id assignment fused with the tokenize pass (B3/B5/B6) --
-    # doc ids are ranked over the SLIM url column only (the two-pass
-    # rank needs a persisted intermediate — caching urls is kilobytes
-    # per million docs where caching full text was the corpus), then
-    # joined back to the text: the text still moves through exactly one
-    # shuffle (the join exchange instead of the old range exchange), and
-    # AQE broadcasts the rank side while it fits. Output file order is
-    # join order, not doc_id order — no consumer assumes physical order
-    # (export sorts explicitly; doc_lengths/term_doc are order-free).
+    # the rank runs over the full (url, text) rows: one range exchange
+    # moves the text, the doc_id is a JVM-side per-partition counter +
+    # broadcast offsets (plans/ranks.py), and the tokenize UDF runs on
+    # the ranked stream — measured faster than ranking slim urls and
+    # joining the text back (the join shuffles the text by url hash AND
+    # shuffles/broadcasts the rank side, i.e. strictly more data moved).
+    # The rank's persisted intermediate holds the corpus text, but the
+    # in-memory columnar cache is column-pruned (the offsets aggregate
+    # deserializes only the partition-id column) and spills to disk;
+    # it is dropped as soon as the stage's checkpoint write lands.
     # Build stats ride along as a zero-job Observation.
     from pyspark.sql import Observation
 
@@ -118,9 +120,9 @@ def build_index(
 
     def make_tokens():
         ranked = with_global_rank(
-            corpus.select("url"), "url", "doc_id", persist_tracker=persists
+            corpus.select("url", "text"), "url", "doc_id", persist_tracker=persists
         )
-        toks = corpus.join(ranked, "url").select(
+        toks = ranked.select(
             "doc_id", "url", tokens_udf(stem)(F.col("text")).alias("tokens")
         ).withColumn("doc_len", F.size("tokens"))
         obs = Observation("build_stats")
