@@ -13,10 +13,12 @@ import os
 from pyspark.sql import SparkSession
 
 
-def ensure_workers_can_import(spark: SparkSession) -> None:
-    """Ship this package to executor Python workers of an already-running
-    session (the spark-submit --py-files equivalent when we didn't create
-    the session ourselves, e.g. under the driver harness)."""
+def build_pyfiles_zip() -> str:
+    """Package this library as a --py-files zip; returns its path.
+
+    Used both by scripts/submit.sh (cluster spark-submit launch) and by
+    :func:`ensure_workers_can_import` (shipping to an already-running
+    session's workers)."""
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
@@ -41,8 +43,15 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
                         full = os.path.join(root, f)
                         rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                         zf.write(full, rel)
+    return zip_path
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers of an already-running
+    session (the spark-submit --py-files equivalent when we didn't create
+    the session ourselves, e.g. under the driver harness)."""
     try:
-        spark.sparkContext.addPyFile(zip_path)
+        spark.sparkContext.addPyFile(build_pyfiles_zip())
     except Exception:
         pass  # already added
 
