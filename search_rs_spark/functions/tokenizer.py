@@ -59,3 +59,41 @@ def tokens_udf(do_stem: bool = True):
     from pyspark.sql import types as T
 
     return F.pandas_udf(_make_tokens_series_fn(do_stem), T.ArrayType(T.StringType()))
+
+
+def term_positions(tokens: list[str]) -> list[dict]:
+    """Per-document posting fragments, first-occurrence term order:
+    ``[{term, tf, positions}]`` with 0-based ascending positions.
+
+    This is the reference's per-document accumulation step
+    (/root/reference/search/src/engine/builder.rs:87-113) done where the
+    document already lives — inside its row — so the build needs no
+    per-token shuffle at all: the (term, doc) aggregation that a
+    posexplode + groupBy would shuffle the whole corpus for is complete
+    before any exchange.
+    """
+    acc: dict[str, list[int]] = {}
+    for i, t in enumerate(tokens):
+        acc.setdefault(t, []).append(i)
+    return [
+        {"term": t, "tf": len(ps), "positions": ps} for t, ps in acc.items()
+    ]
+
+
+TERM_POS_TYPE = (
+    "array<struct<term:string,tf:int,positions:array<int>>>"
+)
+
+
+def term_pos_udf(do_stem: bool = True):
+    """Pandas UDF ``string -> array<struct<term,tf,positions>>`` — the
+    tokenize+stem pass fused with the per-document posting accumulation
+    (map-side; see :func:`term_positions`)."""
+    from pyspark.sql import functions as F
+
+    tok_fn = _make_tokens_series_fn(do_stem)
+
+    def fn(texts):
+        return tok_fn(texts).map(term_positions)
+
+    return F.pandas_udf(fn, TERM_POS_TYPE)

@@ -5,14 +5,19 @@ Spark-first re-expression of the reference build
 folds the whole corpus into RAM in one process; here every stage is a
 shuffle with a checkpointed parquet output:
 
-  tokens       (doc_id, url, doc_len, tokens)     rank by url fused with
+  tokens       (doc_id, url, doc_len, term_pos)   rank by url fused with
                                                   the vectorized tokenize
-                                                  UDF (B1/B3/B5/B6); also
+                                                  UDF, which also folds the
+                                                  per-doc (term, tf,
+                                                  positions) accumulation
+                                                  map-side (B1/B3/B5/B6/B7);
                                                   serves doc_lengths (B13)
                                                   via column pruning
   stats        json: num_docs, avgdl, thresholds  zero-job Observation
                                                   (documents.rs:21-38)
-  term_doc     (term, doc_id, tf, doc_len, positions)   phase-1 agg (B7)
+  term_doc     (doc_id, doc_len, term, tf, positions)  NARROW inline view
+                                                  of tokens — no stage, no
+                                                  shuffle (B7)
   vocabulary   (term, term_id, df)                df filter + rank (B8/B9)
   postings     (term_id, term, block_id, doc_ids, tfs, dls, positions,
                 df_block, block_max)              blocked posting lists (B10)
@@ -27,10 +32,12 @@ Scale decisions:
   carry the per-block max score used by block-max WAND pruning.
 - ``doc_len`` is denormalized into the postings (dls) so BM25 scoring
   needs no query-time join against doc_lengths.
-- phase-1 aggregation (term, doc_id) is skew-free by construction
-  (bounded by document length); the term-major shuffle that the
-  reference does in a RAM hashmap is the (term, block) groupBy, whose
-  keys are bounded by block_span.
+- the (term, doc_id) accumulation happens map-side inside the tokenize
+  UDF (a document is one row — its posting fragments need no exchange),
+  so the build's only all-to-all shuffles are the term-keyed ones the
+  inverted-index transpose genuinely requires: the vocabulary df-count
+  and the (term, block) postings groupBy, whose keys are bounded by
+  block_span (the explicit head-term skew handling).
 """
 
 from __future__ import annotations
@@ -41,7 +48,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tokenizer import tokens_udf
+from ..functions.tokenizer import term_pos_udf
 from .checkpoint import StageRunner, fingerprint
 from .ranks import with_global_rank
 
@@ -96,7 +103,7 @@ def build_index(
             "lang": lang,
             "block_span": block_span,
             "encode_blobs": encode_blobs,
-            "layout": 5,
+            "layout": 6,
         }
     )
     runner = StageRunner(spark, out_dir, fp, resume=resume)
@@ -123,8 +130,11 @@ def build_index(
             corpus.select("url", "text"), "url", "doc_id", persist_tracker=persists
         )
         toks = ranked.select(
-            "doc_id", "url", tokens_udf(stem)(F.col("text")).alias("tokens")
-        ).withColumn("doc_len", F.size("tokens"))
+            "doc_id", "url", term_pos_udf(stem)(F.col("text")).alias("term_pos")
+        ).withColumn(
+            "doc_len",
+            F.aggregate("term_pos", F.lit(0), lambda a, x: a + x["tf"]),
+        )
         obs = Observation("build_stats")
         obs_holder.append(obs)
         return toks.observe(
@@ -165,20 +175,17 @@ def build_index(
     # pruning (doc_id/url/doc_len only — the tokens column is never read),
     # so it needs no separate write stage; see SearchIndex.doc_lengths.
 
-    # -- term_doc: phase-1 aggregation (B7) -----------------------------------
-    def make_term_doc():
-        exploded = tokens.select(
-            "doc_id", "doc_len", F.posexplode("tokens").alias("pos", "term")
-        )
-        # written as the groupBy produces it: both consumers (vocabulary
-        # df-count, postings block agg) re-shuffle by term anyway, so an
-        # extra repartition+sort of the largest intermediate buys nothing
-        return exploded.groupBy("term", "doc_id", "doc_len").agg(
-            F.count(F.lit(1)).cast("int").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
-
-    term_doc = runner.run("term_doc", make_term_doc)
+    # -- term_doc: per-(term, doc) posting fragments (B7) ---------------------
+    # a NARROW view over the tokens table: the per-document (term, tf,
+    # positions) aggregation already happened map-side inside the
+    # tokenize UDF (a document is one row, so its posting fragments
+    # never need an exchange — the posexplode + groupBy(term, doc_id)
+    # shuffle of one row per token occurrence is gone entirely). Both
+    # consumers (vocabulary df-count, postings block agg) re-scan the
+    # checkpointed tokens parquet with nested-column pruning and do
+    # their own term-keyed shuffle — the only all-to-all exchanges left
+    # in the build.
+    term_doc = tokens.select("doc_id", "doc_len", F.inline("term_pos"))
 
     _build_downstream(runner, spark, term_doc, stats, min_f, block_span, encode_blobs)
     return runner.metrics

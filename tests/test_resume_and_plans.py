@@ -24,7 +24,7 @@ def test_partial_resume_reruns_only_missing_stage(spark, tmp_path):
     m = build_index(spark, wt, out, corpus_fingerprint="fix3")
     by_stage = {x["stage"]: x for x in m if "stage" in x}
     assert by_stage["tokens"].get("skipped")
-    assert by_stage["term_doc"].get("skipped")
+    assert by_stage["vocabulary"].get("skipped")
     assert not by_stage["postings"].get("skipped")
     # changing params invalidates everything
     m2 = build_index(spark, wt, out, min_f=1, corpus_fingerprint="fix3")
