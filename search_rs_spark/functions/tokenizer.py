@@ -61,39 +61,49 @@ def tokens_udf(do_stem: bool = True):
     return F.pandas_udf(_make_tokens_series_fn(do_stem), T.ArrayType(T.StringType()))
 
 
-def term_positions(tokens: list[str]) -> list[dict]:
+def term_positions(tokens: list[str]) -> tuple[list, list, list]:
     """Per-document posting fragments, first-occurrence term order:
-    ``[{term, tf, positions}]`` with 0-based ascending positions.
+    ``(terms, tfs, positions)`` parallel lists, 0-based ascending
+    positions.
 
     This is the reference's per-document accumulation step
     (/root/reference/search/src/engine/builder.rs:87-113) done where the
     document already lives — inside its row — so the build needs no
     per-token shuffle at all: the (term, doc) aggregation that a
     posexplode + groupBy would shuffle the whole corpus for is complete
-    before any exchange.
+    before any exchange. Parallel flat lists, NOT per-term structs: the
+    struct shape costs 3× in Python object churn + Arrow conversion
+    (measured 7.6 s vs 2.6 s per 20 k docs single-threaded).
     """
     acc: dict[str, list[int]] = {}
     for i, t in enumerate(tokens):
         acc.setdefault(t, []).append(i)
-    return [
-        {"term": t, "tf": len(ps), "positions": ps} for t, ps in acc.items()
-    ]
+    return list(acc.keys()), [len(v) for v in acc.values()], list(acc.values())
 
 
 TERM_POS_TYPE = (
-    "array<struct<term:string,tf:int,positions:array<int>>>"
+    "terms array<string>, tfs array<int>, positions array<array<int>>"
 )
 
 
 def term_pos_udf(do_stem: bool = True):
-    """Pandas UDF ``string -> array<struct<term,tf,positions>>`` — the
-    tokenize+stem pass fused with the per-document posting accumulation
-    (map-side; see :func:`term_positions`)."""
+    """Pandas UDF ``string -> struct<terms,tfs,positions>`` (parallel
+    arrays) — the tokenize+stem pass fused with the per-document posting
+    accumulation (map-side; see :func:`term_positions`)."""
     from pyspark.sql import functions as F
 
     tok_fn = _make_tokens_series_fn(do_stem)
 
     def fn(texts):
-        return tok_fn(texts).map(term_positions)
+        import pandas as pd
+
+        cols = tok_fn(texts).map(term_positions)
+        return pd.DataFrame(
+            {
+                "terms": cols.map(lambda x: x[0]),
+                "tfs": cols.map(lambda x: x[1]),
+                "positions": cols.map(lambda x: x[2]),
+            }
+        )
 
     return F.pandas_udf(fn, TERM_POS_TYPE)

@@ -5,7 +5,8 @@ Spark-first re-expression of the reference build
 folds the whole corpus into RAM in one process; here every stage is a
 shuffle with a checkpointed parquet output:
 
-  tokens       (doc_id, url, doc_len, term_pos)   rank by url fused with
+  tokens       (doc_id, url, doc_len,
+                terms, tfs, positions)            rank by url fused with
                                                   the vectorized tokenize
                                                   UDF, which also folds the
                                                   per-doc (term, tf,
@@ -103,7 +104,7 @@ def build_index(
             "lang": lang,
             "block_span": block_span,
             "encode_blobs": encode_blobs,
-            "layout": 6,
+            "layout": 7,
         }
     )
     runner = StageRunner(spark, out_dir, fp, resume=resume)
@@ -129,11 +130,18 @@ def build_index(
         ranked = with_global_rank(
             corpus.select("url", "text"), "url", "doc_id", persist_tracker=persists
         )
-        toks = ranked.select(
-            "doc_id", "url", term_pos_udf(stem)(F.col("text")).alias("term_pos")
-        ).withColumn(
-            "doc_len",
-            F.aggregate("term_pos", F.lit(0), lambda a, x: a + x["tf"]),
+        toks = (
+            ranked.select(
+                "doc_id", "url", term_pos_udf(stem)(F.col("text")).alias("tp")
+            )
+            .select(
+                "doc_id",
+                "url",
+                F.col("tp.terms").alias("terms"),
+                F.col("tp.tfs").alias("tfs"),
+                F.col("tp.positions").alias("positions"),
+            )
+            .withColumn("doc_len", F.aggregate("tfs", F.lit(0), lambda a, x: a + x))
         )
         obs = Observation("build_stats")
         obs_holder.append(obs)
@@ -181,13 +189,20 @@ def build_index(
     # tokenize UDF (a document is one row, so its posting fragments
     # never need an exchange — the posexplode + groupBy(term, doc_id)
     # shuffle of one row per token occurrence is gone entirely). Both
-    # consumers (vocabulary df-count, postings block agg) re-scan the
-    # checkpointed tokens parquet with nested-column pruning and do
-    # their own term-keyed shuffle — the only all-to-all exchanges left
-    # in the build.
-    term_doc = tokens.select("doc_id", "doc_len", F.inline("term_pos"))
+    # consumers re-scan the checkpointed tokens parquet and do their own
+    # term-keyed shuffle — the only all-to-all exchanges left in the
+    # build. The vocabulary df-count gets its own terms-only view so the
+    # parquet scan reads just the terms column (the positions arrays —
+    # the bulk of the table — stay on disk for that pass).
+    term_doc = tokens.select(
+        "doc_id", "doc_len", F.inline(F.arrays_zip("terms", "tfs", "positions"))
+    ).withColumnsRenamed({"terms": "term", "tfs": "tf"})
+    term_only = tokens.select(F.explode("terms").alias("term"))
 
-    _build_downstream(runner, spark, term_doc, stats, min_f, block_span, encode_blobs)
+    _build_downstream(
+        runner, spark, term_doc, stats, min_f, block_span, encode_blobs,
+        term_only=term_only,
+    )
     return runner.metrics
 
 
@@ -201,14 +216,21 @@ def _norm_expr(e, avgdl):
     ) / dl
 
 
-def _build_downstream(runner, spark, term_doc, stats, min_f, block_span, encode_blobs):
+def _build_downstream(
+    runner, spark, term_doc, stats, min_f, block_span, encode_blobs, term_only=None
+):
     """vocabulary (B8/B9) + blocked postings (B10) from a term_doc table —
-    shared by the batch build and the streaming-delta finalizer."""
+    shared by the batch build and the streaming-delta finalizer.
+
+    ``term_only``: optional slim one-column (term) view carrying one row
+    per (term, doc) pair — lets the df-count scan skip the positions
+    arrays; defaults to projecting ``term_doc``."""
 
     persists: list = []
 
     def make_vocab():
-        dfc = term_doc.groupBy("term").agg(F.count(F.lit(1)).cast("int").alias("df"))
+        src = term_only if term_only is not None else term_doc.select("term")
+        dfc = src.groupBy("term").agg(F.count(F.lit(1)).cast("int").alias("df"))
         kept = dfc.filter(
             (F.col("df") <= F.lit(stats["df_threshold"])) & (F.col("df") > F.lit(min_f))
         )
