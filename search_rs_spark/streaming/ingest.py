@@ -28,7 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tokenizer import tokens_udf
+from ..functions.tokenizer import term_pos_udf
 from ..sources.webtext import WEBTEXT_SCHEMA
 
 
@@ -56,16 +56,24 @@ def start_ingest(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int):
-        toks = batch_df.select(
-            "url", tokens_udf(stem)(F.col("text")).alias("tokens")
-        ).withColumn("doc_len", F.size("tokens"))
-        exploded = toks.select(
-            "url", "doc_len", F.posexplode("tokens").alias("pos", "term")
+        # same map-side (term, tf, positions) accumulation as the batch
+        # build (plans/build.py): a doc is one row, so the micro-batch
+        # needs no per-token shuffle at all
+        toks = (
+            batch_df.select("url", term_pos_udf(stem)(F.col("text")).alias("tp"))
+            .select(
+                "url",
+                F.col("tp.terms").alias("terms"),
+                F.col("tp.tfs").alias("tfs"),
+                F.col("tp.positions").alias("positions"),
+            )
+            .withColumn("doc_len", F.aggregate("tfs", F.lit(0), lambda a, x: a + x))
         )
-        phase1 = exploded.groupBy("term", "url", "doc_len").agg(
-            F.count(F.lit(1)).cast("int").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
+        phase1 = toks.select(
+            "url",
+            "doc_len",
+            F.inline(F.arrays_zip("terms", "tfs", "positions")),
+        ).withColumnsRenamed({"terms": "term", "tfs": "tf"})
         # idempotent: a replay of batch_id overwrites its own directory
         phase1.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "overwrite"
