@@ -43,7 +43,6 @@ Scale decisions:
 
 from __future__ import annotations
 
-import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
