@@ -38,3 +38,35 @@ def test_unicode_stripped():
 
 def test_digits_kept():
     assert tokenize_and_stem("2024 models running") == ["2024", "model", "run"]
+
+
+def test_term_positions_golden():
+    from search_rs_spark.functions.tokenizer import term_positions
+
+    # "the quick the dog": positions per term, first-occurrence order,
+    # tf = len(positions) — the reference's per-doc accumulation
+    # (builder.rs:87-113) done map-side
+    terms, tfs, positions = term_positions(["the", "quick", "the", "dog"])
+    assert terms == ["the", "quick", "dog"]
+    assert tfs == [2, 1, 1]
+    assert positions == [[0, 2], [1], [3]]
+
+
+def test_term_positions_empty_and_single():
+    from search_rs_spark.functions.tokenizer import term_positions
+
+    assert term_positions([]) == ([], [], [])
+    assert term_positions(["a"]) == (["a"], [1], [[0]])
+
+
+def test_term_positions_matches_posexplode_semantics():
+    from search_rs_spark.functions.tokenizer import term_positions, tokenize_and_stem
+
+    toks = tokenize_and_stem("The quick brown fox jumps over the lazy dog the end")
+    terms, tfs, positions = term_positions(toks)
+    # reconstruct (term, pos) pairs and compare against enumerate(toks)
+    flat = sorted((t, p) for t, ps, in zip(terms, positions) for p in ps)
+    assert flat == sorted((t, i) for i, t in enumerate(toks))
+    assert sum(tfs) == len(toks)
+    # positions strictly ascending within each term
+    assert all(ps == sorted(ps) for ps in positions)
