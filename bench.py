@@ -8,8 +8,9 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
 
 ``--scaling`` mode runs the build twice in fresh subprocesses at
-local[8] and local[32] on the same input and reports the throughput
-scaling efficiency (the sandbox stand-in for N vs 4N executors).
+local[N] and local[4N] (default 2 and 8 — see run_scaling) on the same
+input and reports the throughput scaling efficiency (the sandbox
+stand-in for N vs 4N executors).
 """
 
 from __future__ import annotations
@@ -165,11 +166,13 @@ def run_scaling(sf_dir: str) -> dict:
     The driver testdata at sf<=0.1 is too small for parallel scaling to
     be observable (fixed JVM/stage overhead dominates), so the scaling
     corpus is a larger deterministic synthetic webtext table
-    (SPARK_GRAFT_SCALE_DOCS docs, default 60k), generated once and read
-    by both runs — the sandbox stand-in for N vs 4N executors."""
+    (SPARK_GRAFT_SCALE_DOCS docs, default 1M — measured: at 400k the
+    ~25-30 s fixed per-build cost still drags 2->8 efficiency to ~0.64
+    where 1M measures 0.84+), generated once and read by both runs —
+    the sandbox stand-in for N vs 4N executors."""
     import subprocess
 
-    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "60000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1000000"))
     corpus_dir = os.path.join(
         tempfile.gettempdir(), f"srs_scaling_corpus_{n_docs}"
     )
@@ -187,9 +190,12 @@ def run_scaling(sf_dir: str) -> dict:
         subprocess.run([sys.executable, "-c", gen], check=True, timeout=1800,
                        capture_output=True, text=True)
 
+    # default 2,8: this box has ~16 effective cores, so any leg with
+    # >=16 threads saturates the host and under-reports efficiency
+    # (BASELINE.md scaling table); both legs must stay under-subscribed
     pair = [
         int(x)
-        for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "8,32").split(",")
+        for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
     ]
     n_lo, n_hi = pair[0], pair[1]
     times = {}
