@@ -158,15 +158,23 @@ def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
             .join(first_blocks, "block_id", "left_anti")
             .select("block_id")
         )
-        second_top = (
-            score_candidates(
-                index, terms, blocks=remaining, k=k, cleanup=cleanup,
-                prefilter=False,
+        # metadata-only emptiness gate: when the coverage set already
+        # held every span (small corpora / selective queries), pass 2's
+        # scoring plan would still launch its full job chain over an
+        # empty block set — one CollectLimit(1) over the slim span
+        # table skips it
+        if remaining.isEmpty():
+            second_top = []
+        else:
+            second_top = (
+                score_candidates(
+                    index, terms, blocks=remaining, k=k, cleanup=cleanup,
+                    prefilter=False,
+                )
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
             )
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .collect()
-        )
     finally:
         for c in cleanup:
             c.unpersist(blocking=False)
