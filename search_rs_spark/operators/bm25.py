@@ -30,9 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.tokenizer import tokenize_and_stem
+from ..functions.tokenizer import tokenize, tokenize_and_stem
 from ..plans.build import BM25_B, BM25_K1
-from .window_score import BM25_SCORE_MULTIPLIER, window_score_udf
+from .window_score import BM25_SCORE_MULTIPLIER
 
 NUM_RESULTS = 100  # search/src/main.rs:10
 
@@ -48,8 +48,14 @@ def resolve_query_terms(index, query: str) -> list[tuple[int, str, int]]:
     Uses the in-memory vocabulary when it fits on the driver (the
     reference's approach, vocabulary.rs:44-97); falls back to the
     distributed trigram-join spellcheck for vocabularies beyond the
-    driver threshold."""
-    toks = tokenize_and_stem(query)
+    driver threshold.
+
+    Query preprocessing must equal build preprocessing (Q1 ≡ B3,
+    mod.rs:141-146): an index built with ``stem=False`` gets the
+    tokenize-only query path, else terms would never match the
+    unstemmed vocabulary."""
+    stemmed = bool(index.stats.get("stem", True))
+    toks = tokenize_and_stem(query) if stemmed else tokenize(query)
     out = []
     try:
         vocab = index.driver_vocab()

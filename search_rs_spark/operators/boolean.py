@@ -14,8 +14,11 @@ Faithfully reproduced quirks (each pinned by a test):
   non-empty case is the complement over ``0..n`` (postings.rs:188-198);
 - every boolean hit scores a constant 1.0 (mod.rs:122-127).
 
-Evaluation is DataFrame set algebra — intersect / union / except on
-doc-id columns — so operand lists never materialize on the driver.
+Evaluation is DataFrame set algebra — semi-join (AND), union + dedup
+(OR), anti-join complement (NOT) on doc-id columns — so operand lists
+never materialize on the driver; operands are duplicate-free by
+construction, which is what lets AND be a semi-join instead of a
+dedup-shuffling ``intersect``.
 """
 
 from __future__ import annotations
@@ -104,10 +107,19 @@ def boolean_query(index, query: str) -> DataFrame:
     for p in postfix:
         if p == "AND":
             a, b = stack.pop(), stack.pop()
-            stack.append(a.intersect(b))
+            # left_semi, not intersect: every operand is already
+            # duplicate-free (posting lists hold one entry per doc,
+            # postings.rs:81-113; NOT/OR outputs are deduped), so
+            # intersection ≡ semi-join — without intersect's full
+            # dedup-shuffle of BOTH sides per operator. AQE turns the
+            # semi-join into a broadcast when one side is small.
+            stack.append(a.join(b, "doc_id", "left_semi"))
         elif p == "OR":
             a, b = stack.pop(), stack.pop()
-            stack.append(a.union(b).distinct())
+            # union still needs one dedup (overlapping operands), but
+            # dropDuplicates on the single doc_id column beats
+            # DataFrame.distinct-over-intersect's two-sided aggregate
+            stack.append(a.union(b).dropDuplicates(["doc_id"]))
         elif p == "NOT":
             stack.append(_not_operator(index, stack.pop()))
         else:

@@ -42,13 +42,25 @@ IVF_N_PROBE = 4
 
 
 def seed_centroids(emb: DataFrame, n_centroids: int = IVF_N_CENTROIDS) -> list[tuple[int, list[float]]]:
-    """Deterministic centroid seeds: the vectors with the ``n_centroids``
-    smallest vec_ids. A pushed-down ``vec_id < C`` scan, tiny collect."""
+    """Deterministic centroid seeds: the non-null vectors with the
+    ``n_centroids`` smallest ACTUAL vec_ids (orderBy + limit — a tiny
+    top-N collect), so sparse or offset vec_id spaces (e.g.
+    asset-derived embeddings where invalid payloads were dropped) still
+    yield exactly ``n_centroids`` seeds. Raises when the table holds
+    fewer than ``n_centroids`` non-null vectors rather than silently
+    degrading every downstream assign/probe."""
     rows = (
-        emb.filter(F.col("vec_id") < n_centroids)
+        emb.filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_centroids)
         .collect()
     )
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"need {n_centroids} non-null embeddings to seed IVF centroids, "
+            f"found {len(rows)}"
+        )
     return sorted((int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows)
 
 
@@ -102,7 +114,8 @@ def ivf_assign_sql(n_centroids: int = IVF_N_CENTROIDS) -> str:
 WITH c AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS cn
-  FROM embeddings WHERE vec_id < {n_centroids}
+  FROM embeddings WHERE embedding IS NOT NULL
+  ORDER BY vec_id LIMIT {n_centroids}
 ), d AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS n
@@ -180,7 +193,8 @@ WITH q AS (SELECT {qlist}::DOUBLE[] AS qv),
 c AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS cn
-  FROM embeddings WHERE vec_id < {n_centroids}
+  FROM embeddings WHERE embedding IS NOT NULL
+  ORDER BY vec_id LIMIT {n_centroids}
 ), probe AS (
   SELECT cid FROM c, q
   ORDER BY round(list_sum(list_transform(list_zip(cv, qv), p -> p[1] * p[2]))
@@ -286,7 +300,10 @@ def kmeans_refine(
     partition. No posexplode of the vectors, no Python in the loop;
     only the C x dim centroid matrix ever reaches the driver.
     """
-    dim = len(emb.select("embedding").head()["embedding"])
+    head = emb.filter(F.col("embedding").isNotNull()).select("embedding").head()
+    if head is None:
+        raise ValueError("cannot refine centroids over an empty embeddings table")
+    dim = len(head["embedding"])
     centroids = seed_centroids(emb, n_centroids)
     d = (
         emb.select(

@@ -125,10 +125,14 @@ def resize_assets(assets: DataFrame, max_side: int = 32) -> DataFrame:
     """Arrow-batched resize: payloads whose decoded dims exceed
     ``max_side`` are rewritten with proportionally scaled dims (aspect
     preserved, floor, min 1). STUB pixel kernel — the body is truncated
-    to the new w*h instead of resampled (a real deployment swaps in
-    PIL's ``Image.resize`` with the same UDF signature and batch
-    shape); the header/metadata contract is real and re-decodable.
-    Invalid payloads pass through unchanged."""
+    to the new ``w*h*n_frames`` budget instead of resampled (a real
+    deployment swaps in PIL's ``Image.resize`` per frame with the same
+    UDF signature and batch shape). Frame handling: the header's
+    ``n_frames`` is preserved and the truncation budget is PER-FRAME
+    (``nw*nh*nf``, clamped to the bytes actually present), so a
+    multi-frame payload keeps data for every frame its header claims —
+    the header/metadata contract stays re-decodable for a real
+    ``w*h*nf`` decoder. Invalid payloads pass through unchanged."""
 
     def fn(it):
         import pandas as pd
@@ -147,7 +151,8 @@ def resize_assets(assets: DataFrame, max_side: int = 32) -> DataFrame:
                     continue
                 scale = max_side / max(w, h)
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                body = raw[16 : 16 + nw * nh]  # STUB: truncate, not resample
+                # STUB: truncate to the all-frames budget, not resample
+                body = raw[16 : 16 + nw * nh * nf]
                 out["payload"].append(pack_header(nw, nh, nf) + body)
             yield pd.DataFrame(out)
 
@@ -199,6 +204,26 @@ def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             )
 
     return assets.mapInPandas(fn, schema=FEATURES_SCHEMA)
+
+
+def features_signature(features: DataFrame) -> DataFrame:
+    """(asset_id, kind, emb_sig) — harness-safe projection of
+    :func:`extract_features`: the ``array<float>`` embedding encoded as
+    one '|'-joined string of 6-decimal floats, because list-valued
+    columns cannot be sorted/hashed by pandas-based canonicalizers
+    (same pattern as dedup.minhash_signatures). Null embeddings stay
+    null. The array-typed operator itself is unchanged — this is only
+    the driver-correctness surface."""
+    return features.select(
+        "asset_id",
+        "kind",
+        F.when(
+            F.col("embedding").isNotNull(),
+            F.concat_ws(
+                "|", F.transform("embedding", lambda x: F.format_number(x, 6))
+            ),
+        ).alias("emb_sig"),
+    )
 
 
 def frame_sample_plan(assets: DataFrame, every_n: int = 5) -> DataFrame:

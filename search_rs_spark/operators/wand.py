@@ -46,12 +46,15 @@ Measured regime (1M-doc Zipfian corpus, local[16]): the two bounded
 passes cost ~8 s vs ~3.6 s for the exhaustive scorer — on this corpus
 nearly every span holds all query terms, so the all-terms window bonus
 blankets the ub spread and ub >= theta keeps ~99% of spans (243/245
-measured): pruning cannot fire, and WAND pays its pass structure for
-nothing. Its regime is corpora where the per-span metadata scan is far
-smaller than the posting arrays (billions of docs / long head-term
-lists) or score mixes where the bm25 spread dominates the window
-bonus; rank-identity with the exhaustive path holds everywhere
-(tests/test_wand.py).
+measured): pruning cannot fire, and WAND would pay its pass structure
+for nothing. :func:`free_query_wand` therefore COST-GATES the
+protocol (see its docstring): two metadata-only checks route such
+queries to the exhaustive scorer, so a caller always gets within a
+hair of the better plan. The protocol's own regime is corpora where
+the per-span metadata scan is far smaller than the posting arrays
+(billions of docs / long head-term lists) or score mixes where the
+bm25 spread dominates the window bonus; rank-identity with the
+exhaustive path holds everywhere (tests/test_wand.py).
 """
 
 from __future__ import annotations
@@ -59,10 +62,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .bm25 import materialize_topk, resolve_query_terms, score_candidates
+from .bm25 import free_query, materialize_topk, resolve_query_terms, score_candidates
 from .window_score import U32_MAX, WINDOW_SCORE_MULTIPLIER
 
 COVERAGE_FACTOR = 4
+
+# cost gates (see free_query_wand): the block protocol only runs when
+# the span pool is big enough that pruning CAN pay (pre-gate), and is
+# abandoned when theta leaves too many spans alive for it to pay
+# (post-theta gate). Both consult only the slim persisted span-ub
+# metadata — one tiny aggregate each, never the posting arrays.
+SPAN_GATE_FACTOR = 2  # pre-gate: need > this x coverage target spans
+SURVIVOR_BAILOUT_FRACTION = 0.5  # post-gate: bail when >= this survives
 
 
 def span_upper_bounds(index, terms: list[tuple[int, str, int]]) -> DataFrame:
@@ -104,15 +115,41 @@ def span_upper_bounds(index, terms: list[tuple[int, str, int]]) -> DataFrame:
     ).select("block_id", "ub", "max_docs")
 
 
-def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
-    """Rank-identical to operators.bm25.free_query, with block pruning."""
+def free_query_wand(
+    index, query: str, k: int = 100, force_protocol: bool | None = None
+) -> DataFrame:
+    """Rank-identical to operators.bm25.free_query, with block pruning.
+
+    Cost-gated: the two-pass block protocol only pays when most spans
+    can be skipped, so two metadata-only gates route the query to the
+    plain exhaustive scorer (identical results by definition) when
+    pruning cannot win:
+
+    - pre-gate: if the query touches <= SPAN_GATE_FACTOR *
+      COVERAGE_FACTOR * k spans, the coverage set would swallow
+      (nearly) the whole pool and pass 2 could skip almost nothing —
+      the protocol is pure overhead (the measured 1M-doc regime:
+      245 spans vs a 400-span coverage target, 2.3x slower than
+      exhaustive). One count() on the persisted slim span table.
+    - post-theta gate: if >= SURVIVOR_BAILOUT_FRACTION of spans have
+      ub >= theta after pass 1 (e.g. the all-terms window bonus
+      blankets the ub spread), restricting pass 2 to survivors still
+      scores almost everything while paying the two-pass structure —
+      fall through to the exhaustive scorer.
+
+    ``force_protocol=True`` disables both gates (tests pin the
+    protocol's rank-identity directly); ``False`` forces the exhaustive
+    path; ``None`` (default) applies the gates.
+    """
     terms = resolve_query_terms(index, query)
     if not terms:
         return (
             index.doc_lengths.select("doc_id", "url", F.lit(0.0).alias("score")).limit(0)
         )
+    if force_protocol is False:
+        return free_query(index, query, k)
 
-    span_ub = span_upper_bounds(index, terms)
+    span_ub = span_upper_bounds(index, terms).persist()
 
     # ---- pass 1: coverage set, picked distributedly -----------------------
     # top-N by ub is bounded by COVERAGE_FACTOR*k rows (each span covers
@@ -120,6 +157,10 @@ def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
     # driver-independent set; blocks stay in DataFrames end to end.
     target = COVERAGE_FACTOR * k
     cand = span_ub.orderBy(F.desc("ub"), F.asc("block_id")).limit(target)
+    # Unpartitioned window, intentionally: cand is capped at
+    # COVERAGE_FACTOR*k rows by the limit above, so the single-task
+    # window is bounded and the `WindowExec: No Partition Defined`
+    # warning it emits is expected.
     w = (
         Window.orderBy(F.desc("ub"), F.asc("block_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -132,6 +173,10 @@ def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
 
     cleanup: list = []
     try:
+        if force_protocol is None:
+            n_spans = span_ub.count()
+            if n_spans <= SPAN_GATE_FACTOR * target:
+                return free_query(index, query, k)
         # prefilter=False: the block restriction already bounds each
         # pass's candidate set (COVERAGE_FACTOR*k spans / ub survivors),
         # so score_candidates' own theta pre-pass would only add a
@@ -147,6 +192,14 @@ def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
             .collect()
         )
         theta = first_top[-1]["score"] if len(first_top) >= k else float("-inf")
+
+        # ---- post-theta gate: does pruning actually bite? -----------------
+        # one count over the persisted slim span table; pass-1 work is
+        # discarded on bailout (it was bounded by the coverage target)
+        if force_protocol is None:
+            survivors = span_ub.filter(F.col("ub") >= F.lit(theta)).count()
+            if survivors >= SURVIVOR_BAILOUT_FRACTION * n_spans:
+                return free_query(index, query, k)
 
         # ---- pass 2: every other span that could still alter the top-k ----
         # >= (not >): a doc could score exactly theta and win a doc_id
@@ -176,6 +229,7 @@ def free_query_wand(index, query: str, k: int = 100) -> DataFrame:
                 .collect()
             )
     finally:
+        span_ub.unpersist(blocking=False)
         for c in cleanup:
             c.unpersist(blocking=False)
 

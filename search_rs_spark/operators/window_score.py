@@ -80,35 +80,6 @@ def min_window_np(pos, ids, num_tokens: int) -> int:
 _NUMPY_CUTOVER = 32  # below this, the python loop beats numpy overhead
 
 
-def window_score_flat_udf(num_tokens: int):
-    """pandas UDF over FLAT aligned arrays (qids array<int>, positions
-    array<int>) -> 3*nt/window. Arrow hands the arrays to numpy without
-    per-element Python objects — the fast path for large candidate sets
-    (the struct-based window_score_udf stays for the generic shape)."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    def fn(qids, positions):
-        out = []
-        for q_arr, p_arr in zip(qids, positions):
-            L = len(p_arr)
-            if L >= _NUMPY_CUTOVER:
-                q = np.asarray(q_arr, dtype=np.int64)
-                p = np.asarray(p_arr, dtype=np.int64)
-                order = np.lexsort((q, p))
-                w = min_window_np(p[order], q[order], num_tokens)
-            else:
-                pairs = sorted(zip((int(x) for x in p_arr), (int(x) for x in q_arr)))
-                w = min_window(pairs, num_tokens)
-            out.append(WINDOW_SCORE_MULTIPLIER * num_tokens / w)
-        return pd.Series(out, dtype="float64")
-
-    return F.pandas_udf(fn, T.DoubleType())
-
-
 def window_score_nested_udf(num_tokens: int):
     """pandas UDF over per-term rows: (qids array<int>, positions
     array<array<int>>) -> 3*nt/window.
@@ -140,35 +111,6 @@ def window_score_nested_udf(num_tokens: int):
                     for q, ps in zip(q_arr, p_arrs)
                     for p in ps
                 )
-                w = min_window(pairs, num_tokens)
-            out.append(WINDOW_SCORE_MULTIPLIER * num_tokens / w)
-        return pd.Series(out, dtype="float64")
-
-    return F.pandas_udf(fn, T.DoubleType())
-
-
-def window_score_udf(num_tokens: int):
-    """pandas UDF: array<struct<qid int, positions array<int>>> -> double
-    (the 3.0 * num_tokens / window term only)."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    import numpy as np
-
-    def fn(tpos):
-        out = []
-        for entries in tpos:
-            pairs = []
-            for e in entries:
-                qid = int(e["qid"])
-                for p in e["positions"]:
-                    pairs.append((int(p), qid))
-            if len(pairs) >= _NUMPY_CUTOVER:
-                pairs.sort()
-                arr = np.asarray(pairs, dtype=np.int64)
-                w = min_window_np(arr[:, 0], arr[:, 1], num_tokens)
-            else:
                 w = min_window(pairs, num_tokens)
             out.append(WINDOW_SCORE_MULTIPLIER * num_tokens / w)
         return pd.Series(out, dtype="float64")

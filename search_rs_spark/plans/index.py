@@ -72,20 +72,41 @@ class SearchIndex:
 
     def driver_vocab(self) -> "DriverVocabulary":
         if self._driver_vocab is None:
+            # size gate BEFORE the collect: at scale, collecting an
+            # over-threshold vocabulary would OOM the driver before the
+            # RuntimeError that routes callers to spellcheck_distributed
+            # could fire. The stage manifest's row count (written at
+            # build time, plans/checkpoint.py) answers it without a job;
+            # a count() is the fallback for manifests from older layouts.
+            n_terms = self._vocab_row_count()
+            if n_terms > DRIVER_VOCAB_MAX_TERMS:
+                raise RuntimeError(
+                    f"vocabulary too large for driver-side spellcheck "
+                    f"({n_terms} terms); use distributed spellcheck"
+                )
             rows = (
                 self.vocabulary.select("term", "term_id", "df")
                 .orderBy("term_id")
                 .collect()
             )
-            if len(rows) > DRIVER_VOCAB_MAX_TERMS:
-                raise RuntimeError(
-                    f"vocabulary too large for driver-side spellcheck "
-                    f"({len(rows)} terms); use distributed spellcheck"
-                )
             self._driver_vocab = DriverVocabulary(
                 terms=[r["term"] for r in rows], dfs=[r["df"] for r in rows]
             )
         return self._driver_vocab
+
+    def _vocab_row_count(self) -> int:
+        """Vocabulary cardinality WITHOUT collecting it: the stage
+        manifest's ``rows`` field (written from parquet footers at build
+        time), else one distributed count()."""
+        mp = os.path.join(self.path, "vocabulary", "_MANIFEST.json")
+        try:
+            with open(mp) as f:
+                rows = json.load(f).get("rows")
+            if rows is not None:
+                return int(rows)
+        except (OSError, json.JSONDecodeError, ValueError):
+            pass
+        return self.vocabulary.count()
 
     def idf(self, df: int) -> float:
         """BM25 idf (mod.rs:158-159), intended-df semantics per SURVEY §1.4."""

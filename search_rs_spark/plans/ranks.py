@@ -72,10 +72,36 @@ def with_global_rank(
     if persist_tracker is not None:
         persist_tracker.append(indexed)
 
-    counts = indexed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    counts = indexed.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.max("_local_idx").alias("_max_idx")
+    )
+    # Runtime invariant guarding the two Spark internals this rank
+    # depends on (the 33-bit counter layout of
+    # monotonically_increasing_id, and the optimizer never inlining the
+    # multiply-referenced nondeterministic _mid): within every partition
+    # the local counter must be exactly 0..cnt-1, i.e.
+    # max(_local_idx) + 1 == cnt. A future Spark behavior change then
+    # surfaces as a loud error instead of silently corrupted ids. The
+    # assert is folded into _offset (null-> +0) so column pruning cannot
+    # drop it; it costs one comparison per partition, not per row.
+    _chk = F.assert_true(
+        F.col("_cnt") == F.col("_max_idx") + 1,
+        F.format_string(
+            "monotonically_increasing_id contract violated in partition %s: "
+            "count=%s but max local index=%s — global rank assignment "
+            "(plans/ranks.py) is unsound on this Spark version",
+            "_pid", "_cnt", "_max_idx",
+        ),
+    )
+    # Unpartitioned window, intentionally: it runs over the per-partition
+    # COUNTS (at most `num_partitions` rows ≈ spark.sql.shuffle.partitions,
+    # not data rows), so the single-task window is bounded and benign —
+    # the `WindowExec: No Partition Defined` warning it emits is expected.
     w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
-        "_offset", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+        "_offset",
+        F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+        + F.coalesce(_chk.cast("long"), F.lit(0)),
     ).select("_pid", "_offset")
 
     return (

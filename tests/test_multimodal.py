@@ -52,7 +52,11 @@ def test_resize_bounds_and_aspect(spark):
             scale = 32 / max(b["width"], b["height"])
             assert a["width"] == max(1, int(b["width"] * scale))
             assert a["height"] == max(1, int(b["height"] * scale))
-        assert a["payload_bytes"] == 16 + a["width"] * a["height"]
+        # truncation budget is PER-FRAME (nw*nh*nf), clamped to the
+        # bytes the original payload actually carried
+        budget = a["width"] * a["height"] * a["n_frames"]
+        orig_body = b["payload_bytes"] - 16
+        assert a["payload_bytes"] == 16 + min(budget, orig_body)
 
 
 def test_frame_sample_plan(spark):

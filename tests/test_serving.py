@@ -41,6 +41,28 @@ def test_local_equals_spark_boolean(engines, q):
     assert s == l
 
 
+def test_driver_vocab_guard_fires_before_collect(engines, monkeypatch):
+    """An over-threshold vocabulary must raise the routing RuntimeError
+    WITHOUT collecting the vocabulary — at scale, collect-then-check
+    would OOM the driver before the guard could fire. The row count
+    comes from the stage manifest (no Spark job), so any collect during
+    the check is a regression."""
+    import pyspark.sql
+
+    from search_rs_spark.plans import index as index_mod
+
+    idx, _ = engines
+    fresh = SearchIndex.load(idx.spark, idx.path)  # no cached driver vocab
+    monkeypatch.setattr(index_mod, "DRIVER_VOCAB_MAX_TERMS", 1)
+
+    def no_collect(self):
+        raise AssertionError("driver_vocab collected before the size check")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", no_collect)
+    with pytest.raises(RuntimeError, match="too large"):
+        fresh.driver_vocab()
+
+
 def test_local_latency_is_ms(engines):
     _, local = engines
     local.free_query("warmup", 10)

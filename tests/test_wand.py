@@ -39,17 +39,50 @@ QUERIES = [
 
 @pytest.mark.parametrize("q,k", QUERIES)
 def test_wand_equals_exhaustive(wand_index, q, k):
+    """force_protocol=True: the auto cost gates would route this small
+    corpus to the exhaustive scorer, which would make the test vacuous —
+    the PROTOCOL's rank-identity is what is being pinned."""
     exact = [
         (r["doc_id"], round(r["score"], 9))
         for r in free_query(wand_index, q, k).collect()
     ]
     wand = [
         (r["doc_id"], round(r["score"], 9))
-        for r in free_query_wand(wand_index, q, k).collect()
+        for r in free_query_wand(wand_index, q, k, force_protocol=True).collect()
     ]
     assert [d for d, _ in wand] == [d for d, _ in exact]
     for (wd, ws), (ed, es) in zip(wand, exact):
         assert math.isclose(ws, es, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_wand_cost_gate_routes_small_span_pools_to_exhaustive(
+    wand_index, monkeypatch
+):
+    """Auto mode (force_protocol=None): a corpus whose span pool is
+    below SPAN_GATE_FACTOR * COVERAGE_FACTOR * k must bail to the
+    exhaustive scorer (pre-gate) — and the bailout result must equal
+    the protocol's."""
+    from search_rs_spark.operators import wand as wand_mod
+
+    calls = []
+    real = wand_mod.free_query
+
+    def spy(index, query, k):
+        calls.append((query, k))
+        return real(index, query, k)
+
+    monkeypatch.setattr(wand_mod, "free_query", spy)
+    q, k = "the world of people", 10
+    auto = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in free_query_wand(wand_index, q, k).collect()
+    ]
+    assert calls == [(q, k)], "pre-gate did not route to the exhaustive scorer"
+    forced = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in free_query_wand(wand_index, q, k, force_protocol=True).collect()
+    ]
+    assert auto == forced
 
 
 def test_wand_empty_query(wand_index):
@@ -151,7 +184,7 @@ def test_wand_duplicate_tokens_with_pruning_firing(dup_index):
     from search_rs_spark.operators.bm25 import resolve_query_terms
 
     exact = free_query(dup_index, DUP_QUERY, k).collect()
-    wand = free_query_wand(dup_index, DUP_QUERY, k).collect()
+    wand = free_query_wand(dup_index, DUP_QUERY, k, force_protocol=True).collect()
     assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in exact]
     for w, e in zip(wand, exact):
         assert math.isclose(w["score"], e["score"], rel_tol=1e-9)
