@@ -5,14 +5,16 @@ corpus (documents.parquet adapted to the webtext shape) and run the
 full stemmed BM25+window free-text query.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-family (SURVEY.md §2 + training-data ops): 33 queries, 24 of them
+family (SURVEY.md §2 + training-data ops): 36 queries, 30 of them
 DuckDB-oracle-checked. SQL-expressible operators use the no-stem
-tokenizer so DuckDB computes identical values; the stemmed full
-engine, window score, multimodal plumbing, and the three materialized
-/ on-the-fly ANN probe paths (LSH flat, LSH layout, IVF layout) are
-rows-only checks (no oracle_sql entry) and are instead pinned by
-pytest against the pure-Python reference oracle / brute-force recall
-(see PARITY.md).
+tokenizer so DuckDB computes identical values; the REAL engine query
+path is additionally hash-gated via a ``stem=False`` index
+(engine_*_nostem), and every ANN probe path (LSH flat/layout, IVF
+flat/layout, LSH pairs) folds its deterministic hyperplanes/centroids
+into the SQL as literals. Rows-only (no oracle_sql entry, pinned by
+pytest against the pure-Python reference oracle instead — see
+PARITY.md): the stemmed full engine (free/boolean/wand) and the
+multimodal stub plumbing (mm_*).
 """
 
 from __future__ import annotations
@@ -82,17 +84,19 @@ def _ivf_layout(spark: SparkSession, sf_dir: str) -> str:
     return _IVF_CACHE[sf_dir]
 
 
-def _index(spark: SparkSession, sf_dir: str):
+def _index(spark: SparkSession, sf_dir: str, stem: bool = True):
     from search_rs_spark.plans.build import build_index
     from search_rs_spark.plans.index import SearchIndex
     from search_rs_spark.session import ensure_workers_can_import
     from search_rs_spark.sources.webtext import webtext_from_documents
 
-    if sf_dir not in _INDEX_CACHE:
+    key = sf_dir if stem else f"{sf_dir}::nostem"
+    if key not in _INDEX_CACHE:
         ensure_workers_can_import(spark)
         out = os.path.join(
             tempfile.gettempdir(),
-            "srs_index_" + sf_dir.strip("/").replace("/", "_"),
+            ("srs_index_" if stem else "srs_index_nostem_")
+            + sf_dir.strip("/").replace("/", "_"),
         )
         build_index(
             spark,
@@ -100,10 +104,11 @@ def _index(spark: SparkSession, sf_dir: str):
             out,
             min_f=0,
             max_p=1.0,
-            corpus_fingerprint=f"documents:{sf_dir}",
+            stem=stem,
+            corpus_fingerprint=f"documents:{sf_dir}:stem={stem}",
         )
-        _INDEX_CACHE[sf_dir] = SearchIndex.load(spark, out)
-    return _INDEX_CACHE[sf_dir]
+        _INDEX_CACHE[key] = SearchIndex.load(spark, out)
+    return _INDEX_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -149,6 +154,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _index(s, d), "spark data query performance", k=50
     )
 
+    # the REAL engine path, DuckDB-hash-gated: a stem=False index makes
+    # the engine's own join/prefilter/top-k plan SQL-expressible (the
+    # single-term query's window component is the closed-form 3.0; the
+    # boolean path has no scores). These gate operators/bm25.py +
+    # operators/boolean.py themselves, not the sql_parity re-expression.
+    from pyspark.sql import functions as F
+
+    q["engine_free_query_nostem"] = lambda s, d: free_query(
+        _index(s, d, stem=False), "data", k=450
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    q["engine_boolean_query_nostem"] = lambda s, d: boolean_query(
+        _index(s, d, stem=False), "data AND query AND NOT join"
+    ).select("doc_id", "score")
+
     # text analysis
     q["ta_token_counts"] = lambda s, d: ta.token_counts(_docs(s, d))
     q["ta_lang_id"] = lambda s, d: ta.lang_id(_docs(s, d))
@@ -182,6 +201,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _ann_layout(s, d), _query_vec(d), k=10, exclude_vec_id=0
     )
 
+    # multi-table LSH embedding near-dup pairs (threshold lowered to 0.3
+    # so the driver corpus — max pairwise cos ~0.44 — yields rows and the
+    # oracle row is non-vacuous)
+    q["sim_lsh_pairs"] = lambda s, d: similarity.cosine_lsh_pairs(
+        _emb(s, d), threshold=0.3
+    )
+
     # IVF: the second ANN scale path (centroid-partitioned inverted lists)
     from search_rs_spark.operators import ivf
 
@@ -193,14 +219,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _ivf_layout(s, d), _query_vec(d), k=10, exclude_vec_id=0
     )
 
-    # multimodal plumbing (stub kernels; rows-only)
-    from search_rs_spark.operators.multimodal import extract_features, resize_assets
+    # multimodal plumbing (stub kernels; rows-only). mm_features goes
+    # through features_signature: the harness's pandas canonicalizer
+    # cannot sort/hash a list-valued column, so the array<float>
+    # embedding is emitted as a '|'-joined string (the operator itself
+    # stays array-typed; same pattern as dd_minhash_sig).
+    from search_rs_spark.operators.multimodal import (
+        extract_features,
+        features_signature,
+        resize_assets,
+    )
 
     q["mm_decode_metadata"] = lambda s, d: decode_metadata(fake_assets(s, 500))
     q["mm_resize_metadata"] = lambda s, d: decode_metadata(
         resize_assets(fake_assets(s, 500), max_side=32)
     )
-    q["mm_features"] = lambda s, d: extract_features(fake_assets(s, 500))
+    q["mm_features"] = lambda s, d: features_signature(
+        extract_features(fake_assets(s, 500))
+    )
 
     def _wrap(fn):
         def run(s: SparkSession, d: str) -> DataFrame:
@@ -222,6 +258,8 @@ def oracle_sql() -> dict[str, str]:
 
     qv = _query_vec("/root/testdata/sf0.01")
     return {
+        "engine_free_query_nostem": sp.engine_free_query_nostem_sql("data", k=450),
+        "engine_boolean_query_nostem": sp.ENGINE_BOOLEAN_NOSTEM_SQL,
         "core_doc_lengths": sp.DOC_LENGTHS_SQL,
         "core_term_df": sp.TERM_DF_SQL,
         "core_vocabulary": sp.VOCABULARY_SQL,
@@ -246,6 +284,15 @@ def oracle_sql() -> dict[str, str]:
         "dd_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "sim_cosine_topk": similarity.cosine_topk_sql(qv, k=10, exclude_vec_id=0),
         "sim_cosine_pairs": similarity.cosine_pairs_sql(),
+        # the deterministic md5 hyperplanes fold into SQL as literals;
+        # the layout variant returns identical rows by construction
+        # (same planes, same probe set), so it shares the oracle
+        "sim_lsh_topk": similarity.lsh_topk_sql(qv, k=10, exclude_vec_id=0),
+        "sim_lsh_topk_layout": similarity.lsh_topk_sql(qv, k=10, exclude_vec_id=0),
+        "sim_lsh_pairs": similarity.cosine_lsh_pairs_sql(
+            threshold=0.3, dim=len(qv)
+        ),
         "sim_ivf_assign": ivf.ivf_assign_sql(),
         "sim_ivf_topk": ivf.ivf_topk_sql(qv, k=10, exclude_vec_id=0),
+        "sim_ivf_topk_layout": ivf.ivf_topk_sql(qv, k=10, exclude_vec_id=0),
     }

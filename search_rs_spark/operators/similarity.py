@@ -289,6 +289,106 @@ def cosine_lsh_pairs(
     ).filter(F.col("cos") >= threshold)
 
 
+def _duck_bucket_expr(v_col: str, planes: list[list[float]]) -> str:
+    """DuckDB expression mirroring :func:`lsh_bucket_expr`: the sign-of-
+    projection bitstring against the given hyperplanes (folded in as
+    double literals, exactly like the Spark plan folds them)."""
+    cases = []
+    for plane in planes:
+        plist = "[" + ", ".join(repr(float(w)) for w in plane) + "]"
+        cases.append(
+            "(CASE WHEN list_sum(list_transform(list_zip("
+            f"{v_col}, {plist}::DOUBLE[]), p -> p[1] * p[2])) >= 0 "
+            "THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(cases)
+
+
+def lsh_topk_sql(
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    probe_bits: int = 2,
+    exclude_vec_id: int = 0,
+    seed: int = 13,
+) -> str:
+    """Self-contained DuckDB oracle for :func:`lsh_bucketed_topk` AND
+    :func:`lsh_bucketed_topk_layout` (the layout variant returns
+    identical rows by construction — same deterministic hyperplanes,
+    same probe set; only the storage access path differs). Hyperplanes
+    and the multiprobe bucket set are deterministic md5-derived values
+    computed here and folded into the SQL as literals."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    probe = probe_buckets(query_vec, planes, probe_bits)
+    probe_list = ", ".join(f"'{b}'" for b in probe)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qlist = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
+    return f"""
+WITH q AS (SELECT {qlist}::DOUBLE[] AS qv),
+d AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS n
+  FROM embeddings
+), b AS (
+  SELECT vec_id, label, v, n, {_duck_bucket_expr("v", planes)} AS bucket FROM d
+)
+SELECT vec_id, label,
+       round(list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2]))
+             / (n * {qn!r}), 6) AS cos
+FROM b, q
+WHERE bucket IN ({probe_list}) AND vec_id <> {exclude_vec_id}
+ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def cosine_lsh_pairs_sql(
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 3,
+    seed: int = 13,
+    max_bucket: int | None = 10_000,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`cosine_lsh_pairs`: the same ``n_tables``
+    hyperplane sets (literals), the same oversized-bucket drop, the
+    same bucket-join candidate generation, dedup, and exact-cosine
+    verification."""
+    selects = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, {_duck_bucket_expr('v', planes)} AS bucket FROM d"
+        )
+    bucketed = "\n  UNION ALL ".join(selects)
+    cap = (
+        f"HAVING count(*) <= {max_bucket}" if max_bucket is not None else ""
+    )
+    return f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS n
+  FROM embeddings
+), b AS (
+  {bucketed}
+), keepb AS (
+  SELECT tbl, bucket FROM b GROUP BY tbl, bucket {cap}
+), bk AS (
+  SELECT b.vec_id, b.tbl, b.bucket FROM b JOIN keepb USING (tbl, bucket)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM bk a JOIN bk c ON a.tbl = c.tbl AND a.bucket = c.bucket
+                     AND a.vec_id < c.vec_id
+)
+SELECT * FROM (
+  SELECT vec_a, vec_b,
+         round(list_sum(list_transform(list_zip(da.v, db.v), p -> p[1] * p[2]))
+               / (da.n * db.n), 6) AS cos
+  FROM cand JOIN d da ON cand.vec_a = da.vec_id
+            JOIN d db ON cand.vec_b = db.vec_id
+) WHERE cos >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Materialized bucket-partitioned ANN layout: write once, probe many.
 # ---------------------------------------------------------------------------

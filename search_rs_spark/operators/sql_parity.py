@@ -180,6 +180,49 @@ FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def engine_free_query_nostem_sql(term: str, k: int) -> str:
+    """DuckDB oracle for the REAL engine query path over a
+    ``build_index(stem=False)`` index (not the sql_parity re-expression):
+    a single-term free query, whose combined score is fully closed-form —
+    every matching doc contains the whole (one-term) query, so its
+    minimal covering window is 1 and the window component is exactly
+    ``3.0 * num_tokens / window = 3.0`` (mod.rs:255-286), plus the BM25
+    term with the /doc_len renormalization (mod.rs:158-186). The idf df
+    equals the posting-list length = count of matching docs
+    (vocabulary.rs:36-39, intended semantics per SURVEY §1.4)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks, len({DUCK_TOKENS}) AS dl
+  FROM documents WHERE text IS NOT NULL
+), stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM t),
+m AS (
+  SELECT doc_id, dl,
+         len(list_filter(toks, x -> x = '{term}'))::DOUBLE AS tf
+  FROM t
+  WHERE list_contains(toks, '{term}')
+), dfc AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT doc_id,
+       round(3.0
+             + (ln((stats.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0::DOUBLE)
+                * (m.tf * {BM25_K1 + 1.0})
+                / (m.tf + {BM25_K1} * (1.0::DOUBLE - {BM25_B} + {BM25_B}
+                   * m.dl::DOUBLE / stats.avgdl)))
+               / m.dl, 6)::DOUBLE AS score
+FROM m, dfc, stats
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+ENGINE_BOOLEAN_NOSTEM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, 1.0::DOUBLE AS score FROM t
+WHERE list_contains(toks, 'data') AND list_contains(toks, 'query')
+  AND NOT list_contains(toks, 'join')
+"""
+
+
 def boolean_containment(docs: DataFrame) -> DataFrame:
     """doc ids with 'data' AND 'query' AND NOT 'join' (Q5-Q8 semantics
     over verbatim no-stem tokens)."""
