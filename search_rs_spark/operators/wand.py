@@ -149,6 +149,18 @@ def free_query_wand(
     if force_protocol is False:
         return free_query(index, query, k)
 
+    if force_protocol is None:
+        # zero-job form of the pre-gate: the span pool can never exceed
+        # the corpus's total block count (ceil(num_docs / block_span),
+        # both in the stats json), so when even that ceiling is under
+        # the gate, bail without running ANY metadata job
+        import math
+
+        block_span = int(index.stats.get("block_span") or 1)
+        max_spans = math.ceil(index.num_docs / block_span)
+        if max_spans <= SPAN_GATE_FACTOR * COVERAGE_FACTOR * k:
+            return free_query(index, query, k)
+
     span_ub = span_upper_bounds(index, terms).persist()
 
     # ---- pass 1: coverage set, picked distributedly -----------------------
