@@ -5,7 +5,7 @@ corpus (documents.parquet adapted to the webtext shape) and run the
 full stemmed BM25+window free-text query.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-family (SURVEY.md §2 + training-data ops): 36 queries, 30 of them
+family (SURVEY.md §2 + training-data ops): 37 queries, 31 of them
 DuckDB-oracle-checked. SQL-expressible operators use the no-stem
 tokenizer so DuckDB computes identical values; the REAL engine query
 path is additionally hash-gated via a ``stem=False`` index
@@ -167,6 +167,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_boolean_query_nostem"] = lambda s, d: boolean_query(
         _index(s, d, stem=False), "data AND query AND NOT join"
     ).select("doc_id", "score")
+    # the WAND two-pass block protocol itself (force_protocol=True —
+    # the cost gates would route this tiny corpus to the exhaustive
+    # scorer), hash-gated against the same closed-form oracle
+    q["engine_wand_query_nostem"] = lambda s, d: free_query_wand(
+        _index(s, d, stem=False), "data", k=450, force_protocol=True
+    ).select("doc_id", F.round("score", 6).alias("score"))
 
     # text analysis
     q["ta_token_counts"] = lambda s, d: ta.token_counts(_docs(s, d))
@@ -260,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "engine_free_query_nostem": sp.engine_free_query_nostem_sql("data", k=450),
         "engine_boolean_query_nostem": sp.ENGINE_BOOLEAN_NOSTEM_SQL,
+        "engine_wand_query_nostem": sp.engine_free_query_nostem_sql("data", k=450),
         "core_doc_lengths": sp.DOC_LENGTHS_SQL,
         "core_term_df": sp.TERM_DF_SQL,
         "core_vocabulary": sp.VOCABULARY_SQL,
