@@ -80,6 +80,9 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatch {mismatches[0]}"
 
 
+# the genuinely non-SQL-expressible cells (stemmed engine; blake2b stub
+# featurizer) — everything else, including every ANN probe path and the
+# no-stem engine plans, is in ORACLE_KEYS above
 ROWS_ONLY = [
     "engine_free_query",
     "engine_boolean_query",
@@ -87,9 +90,6 @@ ROWS_ONLY = [
     "mm_decode_metadata",
     "mm_resize_metadata",
     "mm_features",
-    "sim_lsh_topk",
-    "sim_lsh_topk_layout",
-    "sim_ivf_topk_layout",
 ]
 
 
