@@ -85,6 +85,20 @@ def test_wand_cost_gate_routes_small_span_pools_to_exhaustive(
     assert auto == forced
 
 
+def test_wand_single_term_query_bails_with_zero_jobs(wand_index, monkeypatch):
+    """A single-distinct-term query blankets trivially (uniform window
+    bonus), so auto mode must route to the exhaustive scorer WITHOUT
+    building the span-ub metadata plan at all."""
+    from search_rs_spark.operators import wand as wand_mod
+
+    def boom(index, terms):
+        raise AssertionError("span_upper_bounds built for a single-term query")
+
+    monkeypatch.setattr(wand_mod, "span_upper_bounds", boom)
+    rows = free_query_wand(wand_index, "the the", 10).collect()
+    assert len(rows) == 10
+
+
 def test_wand_empty_query(wand_index):
     assert free_query_wand(wand_index, "zzzzqqq", 10).count() == 0
 
