@@ -41,6 +41,10 @@ class LocalEngine:
     vocab: DriverVocabulary
     # term -> (doc_ids, tfs, positions) merged across blocks, doc order
     postings: dict
+    # query preprocessing must equal build preprocessing (Q1 ≡ B3):
+    # a stem=False index gets the tokenize-only query path, same as
+    # bm25.resolve_query_terms
+    stem: bool = True
 
     @classmethod
     def load(cls, path: str) -> "LocalEngine":
@@ -99,14 +103,16 @@ class LocalEngine:
             avgdl=stats["avgdl"],
             vocab=DriverVocabulary(terms=terms, dfs=dfs),
             postings=postings,
+            stem=bool(stats.get("stem", True)),
         )
 
     def free_query(self, query: str, k: int = 100):
         """-> [(doc_id, url, score)] — identical to operators.bm25."""
-        from ..functions.tokenizer import tokenize_and_stem
+        from ..functions.tokenizer import tokenize, tokenize_and_stem
 
+        toks = tokenize_and_stem(query) if self.stem else tokenize(query)
         tokens = []
-        for t in tokenize_and_stem(query):
+        for t in toks:
             c = self.vocab.spellcheck_term(t)
             if c is not None:
                 tokens.append(c)

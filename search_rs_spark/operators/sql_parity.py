@@ -180,6 +180,21 @@ FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+# Engine-faithful DuckDB tokenizer for the engine_*_nostem oracles: the
+# Python build tokenizer STRIPS non-[a-zA-Z0-9\s] runs BEFORE
+# lowercasing (preprocessor.rs:17-24 order), while DUCK_TOKENS
+# lowercases first — divergent on characters whose lowercase maps into
+# ASCII (e.g. U+212A KELVIN SIGN -> 'k'). Replicating the
+# replace-then-lower order makes the oracle byte-faithful to the engine
+# on any input; Python's Unicode-aware \s vs RE2's ASCII \s is
+# immaterial (kept-whitespace and replaced-to-space are both token
+# separators).
+ENGINE_DUCK_TOKENS = (
+    "regexp_extract_all(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g')),"
+    " '[a-z0-9]+')"
+)
+
+
 def engine_free_query_nostem_sql(term: str, k: int) -> str:
     """DuckDB oracle for the REAL engine query path over a
     ``build_index(stem=False)`` index (not the sql_parity re-expression):
@@ -192,7 +207,7 @@ def engine_free_query_nostem_sql(term: str, k: int) -> str:
     (vocabulary.rs:36-39, intended semantics per SURVEY §1.4)."""
     return f"""
 WITH t AS (
-  SELECT doc_id, {DUCK_TOKENS} AS toks, len({DUCK_TOKENS}) AS dl
+  SELECT doc_id, {ENGINE_DUCK_TOKENS} AS toks, len({ENGINE_DUCK_TOKENS}) AS dl
   FROM documents WHERE text IS NOT NULL
 ), stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM t),
 m AS (
@@ -215,7 +230,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 
 ENGINE_BOOLEAN_NOSTEM_SQL = f"""
 WITH t AS (
-  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+  SELECT doc_id, {ENGINE_DUCK_TOKENS} AS toks
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, 1.0::DOUBLE AS score FROM t
 WHERE list_contains(toks, 'data') AND list_contains(toks, 'query')

@@ -89,6 +89,15 @@ class SearchIndex:
                 .orderBy("term_id")
                 .collect()
             )
+            # defense-in-depth: a manifest with a stale/wrong rows field
+            # (hand-assembled index dirs) must not smuggle an oversized
+            # vocabulary past the pre-collect gate unnoticed
+            if len(rows) > DRIVER_VOCAB_MAX_TERMS:
+                raise RuntimeError(
+                    f"vocabulary too large for driver-side spellcheck "
+                    f"({len(rows)} terms, manifest claimed {n_terms}); "
+                    f"use distributed spellcheck"
+                )
             self._driver_vocab = DriverVocabulary(
                 terms=[r["term"] for r in rows], dfs=[r["df"] for r in rows]
             )
@@ -98,7 +107,9 @@ class SearchIndex:
         """Vocabulary cardinality WITHOUT collecting it: the stage
         manifest's ``rows`` field (written from parquet footers at build
         time), else one distributed count()."""
-        mp = os.path.join(self.path, "vocabulary", "_MANIFEST.json")
+        from .checkpoint import MANIFEST
+
+        mp = os.path.join(self.path, "vocabulary", MANIFEST)
         try:
             with open(mp) as f:
                 rows = json.load(f).get("rows")

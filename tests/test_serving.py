@@ -71,3 +71,21 @@ def test_local_latency_is_ms(engines):
         local.free_query("the world of men", 100)
     per_query = (time.time() - t0) / 20
     assert per_query < 0.05, per_query  # ms-scale, not Spark-job-scale
+
+
+def test_local_equals_spark_on_nostem_index(spark, tmp_path_factory):
+    """Q1 ≡ B3 on BOTH surfaces: an index built with stem=False must get
+    the tokenize-only query path in the driver-local engine too, or
+    serving results diverge from the Spark engine on the same index."""
+    out = str(tmp_path_factory.mktemp("idx_serve_nostem"))
+    wt = synthesize_webtext(spark, 120, seed=23, vocab_size=200, mean_len=30)
+    build_index(spark, wt, out, stem=False, corpus_fingerprint="serve120ns")
+    idx = SearchIndex.load(spark, out)
+    local = LocalEngine.load(out)
+    assert local.stem is False
+    for q in ["the world of men", "people years time"]:
+        s = [(r["doc_id"], r["score"]) for r in free_query(idx, q, 20).collect()]
+        l = [(d, sc) for d, _u, sc in local.free_query(q, 20)]
+        assert [d for d, _ in s] == [d for d, _ in l], q
+        for (sd, ss), (ld, ls) in zip(s, l):
+            assert math.isclose(ss, ls, rel_tol=1e-9)

@@ -70,3 +70,31 @@ def test_term_positions_matches_posexplode_semantics():
     assert sum(tfs) == len(toks)
     # positions strictly ascending within each term
     assert all(ps == sorted(ps) for ps in positions)
+
+
+def test_engine_duck_tokens_matches_python_tokenizer_on_unicode():
+    """The engine_*_nostem oracles pair the Python build tokenizer with
+    ENGINE_DUCK_TOKENS — which must replicate the strip-THEN-lower
+    order on inputs where the orders diverge (characters whose
+    lowercase maps into ASCII, Unicode whitespace, combining marks)."""
+    import duckdb
+
+    from search_rs_spark.functions.tokenizer import tokenize
+    from search_rs_spark.operators.sql_parity import ENGINE_DUCK_TOKENS
+
+    cases = [
+        "plain ASCII Text 123",
+        "Kelvin sign",            # KELVIN SIGN lowers to 'k'
+        "İstanbul upper dotted I", # 'İ' lowers to 'i' + combining dot
+        "non breaking space",
+        "mixed ÀΒÇ123 ünïcode wörds",
+        "tabs\tand\nnewlines\r\nok",
+        "punct!!!heavy...text--here",
+        "",
+    ]
+    con = duckdb.connect()
+    for text in cases:
+        got = con.execute(
+            f"SELECT {ENGINE_DUCK_TOKENS} FROM (SELECT ? AS text)", [text]
+        ).fetchone()[0]
+        assert list(got) == tokenize(text), text
