@@ -30,6 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _INDEX_CACHE: dict[str, object] = {}
 
+# k for the engine_*_nostem hash rows — far above any driver sf's doc
+# count (sf0.01 = 500, sf0.1 = 5000), so the LIMIT never cuts and the
+# engine-vs-oracle comparison is over complete match sets (see the
+# comment at the engine_free_query_nostem hook).
+NOSTEM_K = 100_000
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -161,8 +167,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # operators/boolean.py themselves, not the sql_parity re-expression.
     from pyspark.sql import functions as F
 
+    # NOSTEM_K far exceeds any sf's doc count, so the top-k LIMIT is
+    # structurally vacuous on both sides: the engine and the oracle each
+    # return ALL matching docs and near-tie boundary ordering can never
+    # make the comparison flaky (the engine orders by exact score, the
+    # oracle by the 6-dp-rounded score — with no cut line the row SETS
+    # are what the driver hashes).
     q["engine_free_query_nostem"] = lambda s, d: free_query(
-        _index(s, d, stem=False), "data", k=450
+        _index(s, d, stem=False), "data", k=NOSTEM_K
     ).select("doc_id", F.round("score", 6).alias("score"))
     q["engine_boolean_query_nostem"] = lambda s, d: boolean_query(
         _index(s, d, stem=False), "data AND query AND NOT join"
@@ -171,7 +183,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cost gates would route this tiny corpus to the exhaustive
     # scorer), hash-gated against the same closed-form oracle
     q["engine_wand_query_nostem"] = lambda s, d: free_query_wand(
-        _index(s, d, stem=False), "data", k=450, force_protocol=True
+        _index(s, d, stem=False), "data", k=NOSTEM_K, force_protocol=True
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+    # the multi-term window arithmetic (min covering window over the
+    # per-term position lists, mod.rs:255-286) under a DuckDB hash: a
+    # 2-term query's window is SQL-expressible as the min over the
+    # cross product of the two position lists, so this row executes
+    # window_score via the engine's real conjunction/positions dataflow
+    q["engine_free_query_nostem_2term"] = lambda s, d: free_query(
+        _index(s, d, stem=False), "data query", k=NOSTEM_K
     ).select("doc_id", F.round("score", 6).alias("score"))
 
     # text analysis
@@ -199,7 +220,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_cosine_topk"] = lambda s, d: similarity.cosine_topk_bruteforce(
         _emb(s, d), _query_vec(d), k=10, exclude_vec_id=0
     )
-    q["sim_cosine_pairs"] = lambda s, d: similarity.cosine_pairs(_emb(s, d))
+    # threshold 0.35: the driver corpus's max pairwise cos is ~0.44, so
+    # the row is non-vacuous (the round-3 default 0.95 matched nothing
+    # and 0 == 0 proved nothing) — same fix sim_lsh_pairs got in round 3
+    q["sim_cosine_pairs"] = lambda s, d: similarity.cosine_pairs(
+        _emb(s, d), threshold=0.35
+    )
     q["sim_lsh_topk"] = lambda s, d: similarity.lsh_bucketed_topk(
         _emb(s, d), _query_vec(d), k=10, exclude_vec_id=0
     )
@@ -264,9 +290,16 @@ def oracle_sql() -> dict[str, str]:
 
     qv = _query_vec("/root/testdata/sf0.01")
     return {
-        "engine_free_query_nostem": sp.engine_free_query_nostem_sql("data", k=450),
+        "engine_free_query_nostem": sp.engine_free_query_nostem_sql(
+            "data", k=NOSTEM_K
+        ),
         "engine_boolean_query_nostem": sp.ENGINE_BOOLEAN_NOSTEM_SQL,
-        "engine_wand_query_nostem": sp.engine_free_query_nostem_sql("data", k=450),
+        "engine_wand_query_nostem": sp.engine_free_query_nostem_sql(
+            "data", k=NOSTEM_K
+        ),
+        "engine_free_query_nostem_2term": sp.engine_free_query_nostem_2term_sql(
+            "data", "query", k=NOSTEM_K
+        ),
         "core_doc_lengths": sp.DOC_LENGTHS_SQL,
         "core_term_df": sp.TERM_DF_SQL,
         "core_vocabulary": sp.VOCABULARY_SQL,
@@ -290,7 +323,7 @@ def oracle_sql() -> dict[str, str]:
         ).corpus_filter_sql(),
         "dd_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "sim_cosine_topk": similarity.cosine_topk_sql(qv, k=10, exclude_vec_id=0),
-        "sim_cosine_pairs": similarity.cosine_pairs_sql(),
+        "sim_cosine_pairs": similarity.cosine_pairs_sql(threshold=0.35),
         # the deterministic md5 hyperplanes fold into SQL as literals;
         # the layout variant returns identical rows by construction
         # (same planes, same probe set), so it shares the oracle

@@ -92,12 +92,13 @@ def _duck_shingles(k: int = SHINGLE_K) -> str:
 
 def _parallelize(docs: DataFrame) -> DataFrame:
     """Small single-file inputs arrive as one partition; the md5/shingle
-    work is CPU-bound, so spread it across the cluster explicitly."""
+    work is CPU-bound, so spread it across the cluster explicitly.
+    Unconditional: the round-trip exchange is trivial next to the md5
+    work it balances, and inspecting the current partitioning would
+    force a plan-to-RDD conversion (repo stance: no RDD touches)."""
     spark = docs.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target, F.col("doc_id"))
-    return docs
+    return docs.repartition(target, F.col("doc_id"))
 
 
 def _shingled(docs: DataFrame) -> DataFrame:

@@ -228,6 +228,71 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def engine_free_query_nostem_2term_sql(t1: str, t2: str, k: int) -> str:
+    """DuckDB oracle for the REAL engine path with a TWO-term no-stem
+    query — this is the row that puts the minimal-covering-window
+    arithmetic itself (mod.rs:255-286) under a DuckDB hash, not just its
+    single-term closed form: for two distinct query token ids the
+    minimal window covering both is ``min over (a in p1, b in p2) of
+    |a - b| + 1`` (any covering window contains some such pair, and
+    [min(a,b), max(a,b)] is itself covering), expressible as a list
+    cross product. Docs holding only one term take the engine's
+    U32_MAX-window epsilon (mod.rs:256); BM25 follows mod.rs:158-186
+    with the /doc_len renormalization. Corpus precondition (guarded in
+    tests/test_driver_contract.py): both terms must appear verbatim in
+    the no-stem vocabulary, else the engine would spellcheck-correct
+    them while this oracle stays literal."""
+    idf1 = (
+        f"ln((stats.n - dfc.df1 + 0.5) / (dfc.df1 + 0.5) + 1.0::DOUBLE)"
+    )
+    idf2 = (
+        f"ln((stats.n - dfc.df2 + 0.5) / (dfc.df2 + 0.5) + 1.0::DOUBLE)"
+    )
+
+    def bm(idf: str, plist: str) -> str:
+        return (
+            f"{idf} * (len({plist})::DOUBLE * {BM25_K1 + 1.0}) "
+            f"/ (len({plist})::DOUBLE + {BM25_K1} * (1.0::DOUBLE - {BM25_B} "
+            f"+ {BM25_B} * m.dl::DOUBLE / stats.avgdl))"
+        )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, {ENGINE_DUCK_TOKENS} AS toks, len({ENGINE_DUCK_TOKENS}) AS dl
+  FROM documents WHERE text IS NOT NULL
+), stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM t),
+m AS (
+  SELECT doc_id, dl,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = '{t1}') AS p1,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = '{t2}') AS p2
+  FROM t
+  WHERE list_contains(toks, '{t1}') OR list_contains(toks, '{t2}')
+), dfc AS (
+  SELECT sum(CASE WHEN len(p1) > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+         sum(CASE WHEN len(p2) > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+  FROM m
+), sc AS (
+  SELECT m.doc_id,
+         (CASE WHEN len(m.p1) > 0 THEN {bm(idf1, 'm.p1')} ELSE 0.0::DOUBLE END
+          + CASE WHEN len(m.p2) > 0 THEN {bm(idf2, 'm.p2')} ELSE 0.0::DOUBLE END
+         ) / m.dl::DOUBLE
+         + CASE WHEN len(m.p1) > 0 AND len(m.p2) > 0 THEN
+             6.0::DOUBLE / list_min(flatten(list_transform(m.p1,
+                 a -> list_transform(m.p2,
+                      b -> greatest(a, b) - least(a, b) + 1))))::DOUBLE
+           ELSE 6.0::DOUBLE / 4294967295.0::DOUBLE END AS score
+  FROM m, dfc, stats
+)
+SELECT doc_id, round(score, 6)::DOUBLE AS score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# Corpus precondition (guarded in tests/test_driver_contract.py): the
+# three operands must appear verbatim in the sf0.01 no-stem vocabulary
+# and spellcheck-resolve to themselves — if one ever dropped out, the
+# engine would apply trigram correction and the empty-NOT 1..=n quirk
+# while this oracle stays plain containment.
 ENGINE_BOOLEAN_NOSTEM_SQL = f"""
 WITH t AS (
   SELECT doc_id, {ENGINE_DUCK_TOKENS} AS toks

@@ -304,6 +304,7 @@ def build_index_from_term_doc(
     block_span: int = DEFAULT_BLOCK_SPAN,
     encode_blobs: bool = False,
     fingerprint_hint: str = "deltas",
+    stem: bool = True,
 ) -> "list[dict]":
     """Finalize pre-aggregated inputs (e.g. streamed deltas,
     streaming/ingest.py) into a complete, queryable index — identical
@@ -311,6 +312,12 @@ def build_index_from_term_doc(
 
     ``doc_lengths``: (doc_id, url, doc_len); ``term_doc``:
     (term, doc_id, doc_len, tf, positions).
+
+    ``stem`` must state the flag the upstream tokenizer actually ran
+    with (e.g. ``start_ingest(stem=...)``): it is recorded in the index
+    stats, and query preprocessing (Q1 ≡ B3, mod.rs:141-146) reads it
+    to decide whether to stem query terms — a mis-stamped flag makes
+    queries silently miss the vocabulary.
     """
     os.makedirs(out_dir, exist_ok=True)
     fp = fingerprint(
@@ -320,7 +327,8 @@ def build_index_from_term_doc(
             "max_p": max_p,
             "block_span": block_span,
             "encode_blobs": encode_blobs,
-            "layout": 5,
+            "stem": stem,
+            "layout": 6,
         }
     )
     runner = StageRunner(spark, out_dir, fp, resume=True)
@@ -341,7 +349,7 @@ def build_index_from_term_doc(
             "avgdl": (float(agg["total_len"] or 0) / n) if n else 0.0,
             "min_f": min_f,
             "max_p": max_p,
-            "stem": True,
+            "stem": stem,
             "block_span": block_span,
             "df_threshold": int(n * max_p),
         }

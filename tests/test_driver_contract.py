@@ -101,6 +101,22 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.columns) > 0
 
 
+def test_nostem_oracle_corpus_preconditions(spark):
+    """The engine_*_nostem oracles are literal-term SQL: they assume
+    their operand terms ('data', 'query', 'join') appear verbatim in
+    the sf0.01 no-stem vocabulary and spellcheck-resolve to themselves.
+    If the corpus ever regenerated without one, the engine would apply
+    trigram correction (and the empty-NOT 1..=n quirk) while the SQL
+    stayed plain containment — this guard turns that silent dependency
+    into a loud failure. Also pins NOSTEM_K > num_docs, the condition
+    that makes the nostem top-k LIMIT structurally vacuous."""
+    idx = entrymod._index(spark, SF_DIR, stem=False)
+    vocab = idx.driver_vocab()
+    for t in ["data", "query", "join"]:
+        assert vocab.spellcheck_term(t) == t, f"{t} no longer verbatim in vocab"
+    assert idx.num_docs < entrymod.NOSTEM_K
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

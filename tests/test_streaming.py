@@ -133,3 +133,69 @@ def test_recrawled_url_takes_latest_content(spark, tmp_path):
     from search_rs_spark.functions.tokenizer import tokenize_and_stem
 
     assert terms == set(tokenize_and_stem(v2))
+
+
+def test_streamed_nostem_index_stamps_and_queries_correctly(spark, tmp_path):
+    """A stem=False streamed corpus, finalized, must record stem=False in
+    the index stats and answer queries through BOTH free_query and
+    LocalEngine without stemming the query terms (Q1 ≡ B3,
+    mod.rs:141-146). Round-3 regression: build_index_from_term_doc
+    hard-coded stem=True, so a query for 'lazy' would have been stemmed
+    to 'lazi' against an unstemmed vocabulary — silently wrong results."""
+    from search_rs_spark.sources.webtext import WEBTEXT_SCHEMA, _EPOCH, wrap_html
+
+    # 'lazy' stems to 'lazi': the query only matches if the stem flag
+    # survives the streaming finalizer end to end
+    texts = [
+        "the lazy dog sleeps in the sun",
+        "quick foxes jump over fences",
+        "a lazy afternoon with lazy clouds",
+    ]
+    rows = [
+        (f"https://example.org/ns/{i}.html", _EPOCH, wrap_html(t), t, "en")
+        for i, t in enumerate(texts)
+    ]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA).write.parquet(
+        in_dir, mode="append"
+    )
+
+    delta = str(tmp_path / "delta")
+    start_ingest(
+        spark, in_dir, delta, str(tmp_path / "ckpt"), stem=False
+    ).awaitTermination(120)
+    out = finalize_deltas(spark, delta)
+
+    from search_rs_spark.operators.bm25 import free_query
+    from search_rs_spark.operators.serving import LocalEngine
+    from search_rs_spark.plans.build import build_index_from_term_doc
+    from search_rs_spark.plans.index import SearchIndex
+
+    idx_dir = str(tmp_path / "idx")
+    build_index_from_term_doc(
+        spark,
+        out["doc_lengths"],
+        out["term_doc"],
+        idx_dir,
+        fingerprint_hint="nostem3",
+        stem=False,
+    )
+
+    si = SearchIndex.load(spark, idx_dir)
+    assert si.stats["stem"] is False
+    # unstemmed vocabulary: 'lazy' present verbatim, 'lazi' absent
+    vocab_terms = {r["term"] for r in si.vocabulary.collect()}
+    assert "lazy" in vocab_terms and "lazi" not in vocab_terms
+
+    hits = free_query(si, "lazy", k=10).collect()
+    got = {r["url"] for r in hits}
+    assert got == {rows[0][0], rows[2][0]}
+    # doc 2 has tf=2 for 'lazy' in a shorter doc -> must outrank doc 0
+    assert hits[0]["url"] == rows[2][0]
+
+    local = LocalEngine.load(idx_dir)
+    assert local.stem is False
+    lhits = local.free_query("lazy", k=10)
+    assert [(d, u) for d, u, _ in lhits] == [
+        (r["doc_id"], r["url"]) for r in hits
+    ]
