@@ -45,6 +45,28 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_REFINED_CACHE: dict[str, list] = {}
+
+
+def _refined_centroids_local(sf_dir: str) -> list:
+    """Refined IVF centroids via the pure-Python bit-exact replica of
+    the Spark refinement (operators/ivf.py kmeans_refine_local) — the
+    oracle side of sim_ivf_topk_refined."""
+    if sf_dir not in _REFINED_CACHE:
+        import duckdb
+
+        from search_rs_spark.operators.ivf import kmeans_refine_local
+
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+        cents, _ = kmeans_refine_local(
+            [(int(v), e) for v, e in rows], n_iter=2
+        )
+        _REFINED_CACHE[sf_dir] = cents
+    return _REFINED_CACHE[sf_dir]
+
+
 def _query_vec(sf_dir: str) -> list[float]:
     import duckdb
 
@@ -250,6 +272,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_ivf_topk_layout"] = lambda s, d: ivf.ivf_topk_layout(
         s, _ivf_layout(s, d), _query_vec(d), k=10, exclude_vec_id=0
     )
+    # distributed k-means refinement under a DuckDB hash: the Spark
+    # refinement is exact/order-independent (decimal sums), a pure-
+    # Python replica recomputes bit-identical centroids for the oracle
+    # (kmeans_refine_local), and both fold them into the probe as
+    # literals — a red cell here means the DISTRIBUTED refinement
+    # diverged, not just the probe
+    q["sim_ivf_topk_refined"] = lambda s, d: ivf.ivf_topk_with_centroids(
+        _emb(s, d),
+        ivf.kmeans_refine(_emb(s, d), n_iter=2)[0],
+        _query_vec(d),
+        k=10,
+        exclude_vec_id=0,
+    )
 
     # multimodal plumbing (stub kernels; rows-only). mm_features goes
     # through features_signature: the harness's pandas canonicalizer
@@ -335,4 +370,10 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_assign": ivf.ivf_assign_sql(),
         "sim_ivf_topk": ivf.ivf_topk_sql(qv, k=10, exclude_vec_id=0),
         "sim_ivf_topk_layout": ivf.ivf_topk_sql(qv, k=10, exclude_vec_id=0),
+        "sim_ivf_topk_refined": ivf.ivf_topk_refined_sql(
+            qv,
+            _refined_centroids_local("/root/testdata/sf0.01"),
+            k=10,
+            exclude_vec_id=0,
+        ),
     }

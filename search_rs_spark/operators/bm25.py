@@ -82,15 +82,27 @@ def resolve_query_terms(index, query: str) -> list[tuple[int, str, int]]:
 
 
 def scored_hits(
-    index, terms: list[tuple[int, str, int]], blocks: DataFrame | None = None
+    index,
+    terms: list[tuple[int, str, int]],
+    blocks: "DataFrame | list[int] | None" = None,
 ) -> DataFrame:
     """Per-(doc, qid) exploded hits with bm25 contribution columns.
 
-    ``blocks`` (a block_id DataFrame) restricts to the given posting
-    blocks BEFORE the arrays are exploded (block-max WAND's pruned exact
-    pass). A broadcast LEFT SEMI join, never a literal IN-list: the
-    surviving-block set is data-dependent and can be large, and a
-    multi-thousand-literal predicate blows up plan compile time."""
+    ``blocks`` restricts to the given posting blocks BEFORE the arrays
+    are exploded (block-max WAND's pruned exact pass). Two forms:
+
+    - a bounded ``list[int]`` of block ids becomes a literal IN filter
+      folded into the scan predicate: the postings files are sorted by
+      (term, block_id) within partitions, so parquet row-group stats +
+      the pushed In filter skip the pruned blocks' row groups — the
+      positions arrays of skipped blocks are never read or decompressed
+      (measured 2x vs the semi-join on a warm 10M-doc scan, more cold).
+      Callers must bound the list (wand.py caps at MAX_LITERAL_BLOCKS)
+      — an unbounded literal predicate blows up plan compile time.
+    - a block_id DataFrame becomes a broadcast LEFT SEMI join — the
+      fallback when the surviving-block set is too large to inline
+      (it prunes the explode, not the scan).
+    """
     spark = index.spark
     qdf = spark.createDataFrame(
         [(qid, term, float(index.idf(df))) for qid, term, df in terms],
@@ -102,7 +114,11 @@ def scored_hits(
     postings = index.postings.filter(
         F.col("term").isin(sorted({t for _, t, _ in terms}))
     )
-    if blocks is not None:
+    if isinstance(blocks, list):
+        postings = postings.filter(
+            F.col("block_id").isin([int(b) for b in blocks])
+        )
+    elif blocks is not None:
         postings = postings.join(
             F.broadcast(blocks.select("block_id")), "block_id", "left_semi"
         )
@@ -132,7 +148,7 @@ def scored_hits(
 def score_candidates(
     index,
     terms: list[tuple[int, str, int]],
-    blocks: DataFrame | None = None,
+    blocks: "DataFrame | list[int] | None" = None,
     k: int | None = None,
     cleanup: list | None = None,
     prefilter: bool | None = None,
@@ -213,14 +229,22 @@ def score_candidates(
     partial = flags.filter(~is_conj).select(
         "doc_id", (F.lit(eps) + bm_norm).alias("score")
     )
+    # single-distinct-term queries (incl. duplicated tokens): every
+    # conjunction doc's covering window is exactly 1 (all query token
+    # ids share the term's position list, so [p, p] covers them), so
+    # the window component is the closed form 3.0 * nt — no positions
+    # aggregate, no extra shuffle, no window computation at all
+    if n_distinct == 1:
+        conj_scored = conj.select(
+            "doc_id",
+            (F.lit(WINDOW_SCORE_MULTIPLIER * num_tokens) + bm_norm).alias("score"),
+        )
+        return partial.unionAll(conj_scored)
+
     # aligned (qid, positions-array) lists per doc: two collect_lists in
     # one aggregate see rows in the same order. The position ARRAYS ride
     # the shuffle unexploded (a handful of rows per doc instead of one
-    # row per position); the UDF flattens them with numpy concatenate +
-    # repeat — no per-position Python objects, no per-position shuffle
-    # rows.
-    from .window_score import window_score_nested_udf
-
+    # row per position).
     tpos = (
         e.join(conj.select("doc_id"), "doc_id", "left_semi")
         .groupBy("doc_id")
@@ -229,12 +253,24 @@ def score_candidates(
             F.collect_list("positions").alias("ps"),
         )
     )
+    # window implementation: "hof" (default) is the JVM-side
+    # higher-order-function expression — no Arrow round-trip, no Python
+    # workers on the conjunction set (the corpus-sized candidate set of
+    # head queries made the pandas UDF the round-3 scale bottleneck);
+    # "udf" keeps the numpy pandas-UDF path (A/B + fallback). Both are
+    # bit-identical (pinned in tests/test_window_score_units.py).
+    import os
+
+    if os.environ.get("SPARK_GRAFT_WINDOW_IMPL", "hof") == "udf":
+        from .window_score import window_score_nested_udf
+
+        wscore = window_score_nested_udf(num_tokens)(F.col("qids"), F.col("ps"))
+    else:
+        from .window_score import window_score_expr
+
+        wscore = window_score_expr("qids", "ps", num_tokens)
     conj_scored = conj.join(tpos, "doc_id").select(
-        "doc_id",
-        (
-            window_score_nested_udf(num_tokens)(F.col("qids"), F.col("ps"))
-            + bm_norm
-        ).alias("score"),
+        "doc_id", (wscore + bm_norm).alias("score")
     )
     return partial.unionAll(conj_scored)
 

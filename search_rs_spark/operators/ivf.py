@@ -225,6 +225,84 @@ ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
 
 
+def ivf_topk_with_centroids(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = IVF_N_PROBE,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k against EXPLICIT centroids (e.g. the output of
+    :func:`kmeans_refine`) — same plan shape as :func:`ivf_topk`:
+    assignment inline on the scan, probe as a filter, exact cosine +
+    TakeOrderedAndProject."""
+    probe = probe_centroids(query_vec, centroids, n_probe)
+    d = emb.withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    ).withColumn("n", _norm(F.col("v")))
+    best = _assign_expr(F.col("v"), F.col("n"), centroids)
+    cand = d.withColumn("centroid_id", -best["neg_cid"]).filter(
+        F.col("centroid_id").isin(*probe)
+    )
+    return _cosine_topk(cand, query_vec, k, exclude_vec_id)
+
+
+def ivf_topk_refined_sql(
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = IVF_N_PROBE,
+    exclude_vec_id: int = 0,
+) -> str:
+    """Oracle for :func:`ivf_topk_with_centroids`: identical to
+    :func:`ivf_topk_sql` except the centroid CTE is a VALUES literal of
+    the (deterministically computed) refined centroids — the same
+    mechanism that folds the seeds in. Centroid norms are folded as
+    literals too (both engines compute them driver-side in Python)."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qlist = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
+    rows = ", ".join(
+        "({cid}, [{cv}]::DOUBLE[], {cn!r})".format(
+            cid=cid,
+            cv=", ".join(repr(float(x)) for x in cv),
+            cn=math.sqrt(sum(x * x for x in cv)) or 1.0,
+        )
+        for cid, cv in centroids
+    )
+    return f"""
+WITH q AS (SELECT {qlist}::DOUBLE[] AS qv),
+c AS (SELECT * FROM (VALUES {rows}) AS t(cid, cv, cn)),
+probe AS (
+  SELECT cid FROM c, q
+  ORDER BY round(list_sum(list_transform(list_zip(cv, qv), p -> p[1] * p[2]))
+                 / (cn * {qn!r}), 6) DESC, cid ASC
+  LIMIT {n_probe}
+), d AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS n
+  FROM embeddings
+), assigned AS (
+  SELECT d.vec_id, d.label, d.v, d.n, c.cid,
+         row_number() OVER (
+           PARTITION BY d.vec_id
+           ORDER BY round(list_sum(list_transform(list_zip(d.v, c.cv),
+                                                  p -> p[1] * p[2]))
+                          / (d.n * c.cn), 6) DESC, c.cid ASC) AS rn
+  FROM d CROSS JOIN c
+), cand AS (
+  SELECT a.vec_id, a.label, a.v, a.n FROM assigned a
+  JOIN probe p ON a.cid = p.cid
+  WHERE a.rn = 1 AND a.vec_id <> {exclude_vec_id}
+)
+SELECT vec_id, label,
+       round(list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2]))
+             / (n * {qn!r}), 6) AS cos
+FROM cand, q
+ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Materialized inverted-list layout: write once, probe many.
 # ---------------------------------------------------------------------------
@@ -284,6 +362,121 @@ def ivf_topk_layout(
 # ---------------------------------------------------------------------------
 
 
+def _update_centroids(
+    centroids: list[tuple[int, list[float]]],
+    rows: "dict[int, tuple[int, list]]",
+) -> list[tuple[int, list[float]]]:
+    """One Lloyd's centroid update from per-centroid (count, per-dim
+    exact Decimal sums of the unit vectors). SHARED between the Spark
+    refinement and the pure-Python replica so the driver-side float
+    arithmetic (Decimal -> float division, norm, renormalize) is the
+    same code path in both — a precondition for bit-equality."""
+    new_centroids = []
+    for cid, old in centroids:
+        r = rows.get(cid)
+        if r is None:  # empty list: keep the old centroid
+            new_centroids.append((cid, old))
+            continue
+        cnt, sums = r
+        mean = [float(s) / cnt for s in sums]
+        nrm = math.sqrt(sum(x * x for x in mean))
+        new_centroids.append((cid, [x / nrm for x in mean] if nrm else old))
+    return new_centroids
+
+
+def _round6(x: float) -> float:
+    """Python replica of Spark's ``F.round(x, 6)`` on doubles: Java
+    rounds BigDecimal.valueOf(x) (the shortest round-trip decimal
+    repr, = Python's ``repr``) HALF_UP — NOT Python's banker's
+    ``round``."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _to_dec20(x: float):
+    """Python replica of Spark's double -> decimal(38,20) cast (via the
+    shortest round-trip decimal repr, HALF_UP at 20 fractional
+    digits)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(x)).quantize(Decimal("1e-20"), ROUND_HALF_UP)
+
+
+def kmeans_refine_local(
+    vectors: list[tuple[int, list[float]]],
+    n_centroids: int = IVF_N_CENTROIDS,
+    n_iter: int = 5,
+) -> tuple[list[tuple[int, list[float]]], list[float]]:
+    """Pure-Python, bit-exact replica of :func:`kmeans_refine` — the
+    oracle side of the refined-centroid driver row (the refinement
+    itself cannot run in DuckDB SQL; instead this replica computes the
+    SAME centroids deterministically and they fold into
+    :func:`ivf_topk_refined_sql` as literals).
+
+    Bit-equality holds because every arithmetic step mirrors the Spark
+    plan exactly: float32 -> float64 element casts, sequential
+    left-to-right fold for dot/norm (Spark's ``aggregate`` HOF),
+    HALF_UP rounding at 6 dp before the (cos desc, cid asc) argmax,
+    per-element double division for the unit vectors, HALF_UP
+    double -> decimal(38,20) casts, exact Decimal sums (order-free on
+    both sides), and the shared :func:`_update_centroids` driver step.
+    Pinned equal to the distributed version in tests/test_ivf.py.
+
+    ``vectors``: (vec_id, embedding) rows; intended for oracle-scale
+    inputs (the driver sf tables), not production corpora.
+    """
+    named = [
+        (vid, [float(x) for x in vec])
+        for vid, vec in vectors
+        if vec is not None
+    ]
+    named.sort(key=lambda t: t[0])
+    if len(named) < n_centroids:
+        raise ValueError(
+            f"need {n_centroids} non-null embeddings to seed IVF centroids, "
+            f"found {len(named)}"
+        )
+    centroids = sorted((vid, list(vec)) for vid, vec in named[:n_centroids])
+    dim = len(centroids[0][1])
+
+    def _seq_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def _seq_norm(a: list[float]) -> float:
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    data = [(vid, vec, _seq_norm(vec)) for vid, vec in named]
+    data = [(vid, vec, n) for vid, vec, n in data if n > 0]
+
+    objectives: list[float] = []
+    for _ in range(n_iter):
+        cns = [(cid, cv, _seq_norm(cv)) for cid, cv in centroids]
+        rows: dict[int, tuple[int, list]] = {}
+        cos_sum: dict[int, float] = {}
+        for _vid, vec, n in data:
+            best = max(
+                ((_round6(_seq_dot(vec, cv) / (n * cn)), -cid) for cid, cv, cn in cns)
+            )
+            cid = -best[1]
+            u = [x / n for x in vec]
+            if cid not in rows:
+                rows[cid] = (0, [_to_dec20(0.0)] * dim)
+            cnt, sums = rows[cid]
+            rows[cid] = (cnt + 1, [s + _to_dec20(x) for s, x in zip(sums, u)])
+            cos_sum[cid] = cos_sum.get(cid, 0.0) + best[0]
+        total = sum(cnt for cnt, _ in rows.values())
+        objectives.append(sum(cos_sum.values()) / total)
+        centroids = _update_centroids(centroids, rows)
+    return centroids, objectives
+
+
 def kmeans_refine(
     emb: DataFrame,
     n_centroids: int = IVF_N_CENTROIDS,
@@ -295,10 +488,18 @@ def kmeans_refine(
 
     Per round, the distributed work is one aggregation: assign each
     vector JVM-side (centroid literals, no join), then groupBy
-    centroid with ``dim`` partial ``sum(v[i])`` aggregates + a count —
-    map-side combined, shuffling only C x (dim+2) doubles per
+    centroid with ``dim`` partial ``sum(u[i])`` aggregates + a count —
+    map-side combined, shuffling only C x (dim+2) values per
     partition. No posexplode of the vectors, no Python in the loop;
     only the C x dim centroid matrix ever reaches the driver.
+
+    DETERMINISM: the per-dimension sums run over ``decimal(38,20)``
+    casts, so the aggregation is exact and ORDER-INDEPENDENT — the
+    refined centroids are bit-identical regardless of partitioning or
+    parallelism. That makes the whole refinement reproducible by the
+    pure-Python replica :func:`kmeans_refine_local` (pinned equal in
+    tests/test_ivf.py), which is what lets refined-centroid probes be
+    DuckDB-hash-gated in the driver contract (sim_ivf_topk_refined).
     """
     head = emb.filter(F.col("embedding").isNotNull()).select("embedding").head()
     if head is None:
@@ -325,23 +526,29 @@ def kmeans_refine(
             agg = assigned.groupBy("centroid_id").agg(
                 F.count(F.lit(1)).alias("cnt"),
                 F.avg("cos").alias("mean_cos"),
-                *[F.sum(F.element_at("u", i + 1)).alias(f"s{i}") for i in range(dim)],
+                # exact, order-independent accumulation (see docstring);
+                # |u[i]| <= 1 so 18 integer digits cannot overflow
+                # before ~1e18 vectors per centroid
+                *[
+                    F.sum(F.element_at("u", i + 1).cast("decimal(38,20)")).alias(
+                        f"s{i}"
+                    )
+                    for i in range(dim)
+                ],
             )
-            rows = {int(r["centroid_id"]): r for r in agg.collect()}
-            total = sum(r["cnt"] for r in rows.values())
+            collected = agg.collect()
+            rows = {
+                int(r["centroid_id"]): (
+                    int(r["cnt"]),
+                    [r[f"s{i}"] for i in range(dim)],
+                )
+                for r in collected
+            }
+            total = sum(cnt for cnt, _ in rows.values())
             objectives.append(
-                sum(r["mean_cos"] * r["cnt"] for r in rows.values()) / total
+                sum(r["mean_cos"] * r["cnt"] for r in collected) / total
             )
-            new_centroids = []
-            for cid, old in centroids:
-                r = rows.get(cid)
-                if r is None:  # empty list: keep the old centroid
-                    new_centroids.append((cid, old))
-                    continue
-                mean = [r[f"s{i}"] / r["cnt"] for i in range(dim)]
-                nrm = math.sqrt(sum(x * x for x in mean))
-                new_centroids.append((cid, [x / nrm for x in mean] if nrm else old))
-            centroids = new_centroids
+            centroids = _update_centroids(centroids, rows)
     finally:
         d.unpersist()
     return centroids, objectives

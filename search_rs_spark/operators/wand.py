@@ -35,8 +35,11 @@ full-metadata collect, no literal IN-lists):
    spans exactly and take the running k-th best score as theta (the only
    driver-side value: k winner rows);
 2. exactly score every remaining span with ub >= theta (provably the
-   only spans that could alter the top-k) via a broadcast anti/semi
-   join on the block-id DataFrames, merge, and take the top-k.
+   only spans that could alter the top-k), merge, and take the top-k.
+   Surviving-span sets up to MAX_LITERAL_BLOCKS inline as a literal
+   scan filter (parquet row-group stats skip the pruned blocks' array
+   columns entirely — the IO win pruning exists for); larger sets fall
+   back to a broadcast semi join (prunes the explode, not the scan).
 
 Safety: every doc's true score <= its span's ub, so a span with
 ub < theta cannot contribute a doc at or above the k-th best
@@ -75,6 +78,23 @@ COVERAGE_FACTOR = 4
 SPAN_GATE_FACTOR = 2  # pre-gate: need > this x coverage target spans
 BLANKET_FRACTION = 0.95  # pre-gate: bail when >= this holds all terms
 SURVIVOR_BAILOUT_FRACTION = 0.5  # post-gate: bail when >= this survives
+
+# pre-gate (absolute volume, zero-job): the exhaustive scorer explodes
+# exactly sum(df over distinct query terms) posting rows in ONE job
+# chain; the protocol's two bounded passes + gate aggregates are ~6
+# extra jobs of fixed structure. Below this volume the single pass is
+# cheaper than the structure even when pruning would skip 90% of spans
+# (measured: 1M-doc planted-rare-term corpus, sum_df ~= 1M, exhaustive
+# 3.4-4.1 s vs protocol 7.3 s despite ~10% survivors). Calibrated to
+# ~1M rows/s/core single-pass scoring on this class of hardware; the
+# relative gates below handle the can-pruning-bite question, this one
+# handles is-there-enough-work-to-prune.
+MIN_PRUNABLE_POSTINGS = 4_000_000
+
+# block restrictions at or under this many ids inline as a literal
+# (row-group-prunable) scan filter; larger sets fall back to the
+# broadcast semi-join (see scored_hits). Bounds plan-compile cost.
+MAX_LITERAL_BLOCKS = 2048
 
 
 def span_upper_bounds(index, terms: list[tuple[int, str, int]]) -> DataFrame:
@@ -135,6 +155,13 @@ def free_query_wand(
     plain exhaustive scorer (identical results by definition) when
     pruning cannot win:
 
+    - pre-gate (absolute volume, zero-job): if sum(df) over the distinct
+      query terms — exactly the posting-row count the exhaustive scorer
+      explodes in its single pass — is under MIN_PRUNABLE_POSTINGS,
+      there is not enough work for pruning to repay the protocol's
+      multi-job structure no matter how well theta prunes (measured:
+      1M-doc rare-term corpus, ~10% survivors, protocol still 2x
+      slower). Bail before any job.
     - pre-gate (span pool): if the query touches <= SPAN_GATE_FACTOR *
       COVERAGE_FACTOR * k spans, the coverage set would swallow
       (nearly) the whole pool and pass 2 could skip almost nothing —
@@ -185,6 +212,11 @@ def free_query_wand(
         max_spans = math.ceil(index.num_docs / block_span)
         if max_spans <= SPAN_GATE_FACTOR * COVERAGE_FACTOR * k:
             return free_query(index, query, k)
+        # absolute-volume gate: dfs arrived with resolve_query_terms,
+        # so this costs nothing (see MIN_PRUNABLE_POSTINGS)
+        sum_df = sum({t: df for _, t, df in terms}.values())
+        if sum_df <= MIN_PRUNABLE_POSTINGS:
+            return free_query(index, query, k)
 
     span_ub = span_upper_bounds(index, terms).persist()
 
@@ -202,10 +234,16 @@ def free_query_wand(
         Window.orderBy(F.desc("ub"), F.asc("block_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    first_blocks = (
-        cand.withColumn("cum", F.sum("max_docs").over(w))
+    # the coverage set is bounded by COVERAGE_FACTOR*k rows, so its ids
+    # always fit the literal-scan form (these ARE the k winner spans —
+    # collecting them is the protocol's pass-1 driver contact, same
+    # order of bytes as the k winner rows)
+    first_blocks = sorted(
+        int(r["block_id"])
+        for r in cand.withColumn("cum", F.sum("max_docs").over(w))
         .filter(F.col("cum") - F.col("max_docs") < target)
         .select("block_id")
+        .collect()
     )
 
     cleanup: list = []
@@ -251,21 +289,29 @@ def free_query_wand(
         # docs provably below >= k docs of the SAME pass, so the merged
         # top-k stays exact.
         remaining = (
-            span_ub.filter(F.col("ub") >= F.lit(theta))
-            .join(first_blocks, "block_id", "left_anti")
+            span_ub.filter(
+                (F.col("ub") >= F.lit(theta))
+                & ~F.col("block_id").isin(first_blocks)
+            )
             .select("block_id")
         )
-        # metadata-only emptiness gate: when the coverage set already
-        # held every span (small corpora / selective queries), pass 2's
-        # scoring plan would still launch its full job chain over an
-        # empty block set — one CollectLimit(1) over the slim span
-        # table skips it
-        if remaining.isEmpty():
+        # survivor ids: up to MAX_LITERAL_BLOCKS collect as literals so
+        # the pass-2 scan row-group-prunes the skipped blocks (their
+        # positions arrays are never read); beyond that, stay a
+        # DataFrame semi-join. The limit bounds the driver contact.
+        # An empty survivor set also skips pass 2's job chain entirely.
+        surv = remaining.limit(MAX_LITERAL_BLOCKS + 1).collect()
+        if not surv:
             second_top = []
         else:
+            blocks2 = (
+                sorted(int(r["block_id"]) for r in surv)
+                if len(surv) <= MAX_LITERAL_BLOCKS
+                else remaining
+            )
             second_top = (
                 score_candidates(
-                    index, terms, blocks=remaining, k=k, cleanup=cleanup,
+                    index, terms, blocks=blocks2, k=k, cleanup=cleanup,
                     prefilter=False,
                 )
                 .orderBy(F.desc("score"), F.asc("doc_id"))

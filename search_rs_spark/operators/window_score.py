@@ -77,6 +77,100 @@ def min_window_np(pos, ids, num_tokens: int) -> int:
     return int(w.min())
 
 
+def min_window_sql(qids: str, ps: str, num_tokens: int) -> str:
+    """Spark SQL higher-order-function expression computing the same
+    minimal covering window as :func:`min_window` — entirely JVM-side.
+
+    ``qids`` / ``ps`` are COLUMN NAMES (aligned ``array<int>`` /
+    ``array<array<int>>``, the shape ``score_candidates`` aggregates).
+    The expression is the per-right-endpoint formulation of
+    :func:`min_window_np`: flatten the per-term position lists into
+    (pos, qid) pairs, ``array_sort`` them (struct sort = (pos, qid)
+    lexicographic, identical to the UDF's lexsort), then one
+    ``aggregate`` pass carrying (last-seen position per qid, best).
+    For each pair the minimal covering window ENDING at its position
+    starts at ``min over qids of last[qid]``; the answer is the min
+    over all right endpoints (reference mod.rs:264-281 computes the
+    same quantity with a two-pointer sweep). Three specializations by
+    query width: nt=2 reduces to adjacent opposite-id pairs (stateless
+    zip_with), nt<=8 unrolls the last-seen state into scalar struct
+    fields (no per-pair array allocation), and wider queries keep the
+    array-state general form.
+
+    Removing the pandas UDF here removes the Arrow round-trip and the
+    Python workers from the head-query regime, where the conjunction
+    set is corpus-sized — the round-3 scale bottleneck.
+    """
+    pairs = (
+        f"array_sort(flatten(transform(arrays_zip({qids}, {ps}), "
+        f"t -> transform(t.{ps}, p -> "
+        f"struct(CAST(p AS BIGINT) AS pos, t.{qids} AS qid)))))"
+    )
+    u32 = f"CAST({U32_MAX} AS BIGINT)"
+
+    if num_tokens == 2:
+        # two ids: the minimizing (a in p0, b in p1) pair is ADJACENT in
+        # the merged sorted order (an opposite-id element strictly
+        # between them would form a smaller window with one end; a
+        # same-id element an equal-or-smaller one with the other), so
+        # one zip_with over consecutive pairs suffices — no per-pair
+        # state at all. The outer single-element transform binds the
+        # sorted pairs array once.
+        win = (
+            f"IF(size(S) < 2, {u32}, coalesce(array_min("
+            f"zip_with(slice(S, 1, size(S) - 1), slice(S, 2, size(S) - 1), "
+            f"(a, b) -> IF(a.qid <> b.qid, b.pos - a.pos + 1, {u32}))), {u32}))"
+        )
+        return f"element_at(transform(array({pairs}), S -> {win}), 1)"
+
+    if num_tokens <= 8:
+        # scalar-unrolled state: one struct field per query token id
+        # instead of an array — no per-pair array allocation, just
+        # scalar IF/least nodes (measured materially faster interpreted)
+        zero_fields = ", ".join(
+            f"CAST(-1 AS BIGINT) AS l{i}" for i in range(num_tokens)
+        )
+        zero = f"struct({zero_fields}, {u32} AS best)"
+        nls = [f"IF(x.qid = {i}, x.pos, s.l{i})" for i in range(num_tokens)]
+        nl_fields = ", ".join(f"{e} AS l{i}" for i, e in enumerate(nls))
+        minl = "least(" + ", ".join(nls) + ")" if num_tokens > 1 else nls[0]
+        step = (
+            f"(s, x) -> struct({nl_fields}, "
+            f"IF({minl} >= 0, least(s.best, x.pos - {minl} + 1), s.best) AS best)"
+        )
+        return f"aggregate({pairs}, {zero}, {step}, s -> s.best)"
+
+    # general case (queries with >8 tokens): array-valued last-seen
+    # state; the inner single-element aggregate is a let-binding so the
+    # updated array is computed once per pair, not three times
+    zero = (
+        f"struct(array_repeat(CAST(-1 AS BIGINT), {num_tokens}) AS last, "
+        f"{u32} AS best)"
+    )
+    step = (
+        "(s, x) -> aggregate("
+        "array(transform(s.last, (v, i) -> IF(i = x.qid, x.pos, v))), "
+        "s, "
+        "(s2, nl) -> struct(nl AS last, "
+        "IF(array_min(nl) >= 0, "
+        "least(s2.best, x.pos - array_min(nl) + 1), s2.best) AS best))"
+    )
+    return f"aggregate({pairs}, {zero}, {step}, s -> s.best)"
+
+
+def window_score_expr(qids: str, ps: str, num_tokens: int):
+    """JVM-side window-score Column: ``3.0 * num_tokens / min_window``
+    over the same (qids, ps) shape :func:`window_score_nested_udf`
+    consumes — bit-identical output (``3.0 * nt`` folds to the same
+    double literal the UDF multiplies by; pinned in
+    tests/test_window_score_units.py)."""
+    from pyspark.sql import functions as F
+
+    return F.lit(WINDOW_SCORE_MULTIPLIER * num_tokens) / F.expr(
+        min_window_sql(qids, ps, num_tokens)
+    )
+
+
 _NUMPY_CUTOVER = 32  # below this, the python loop beats numpy overhead
 
 

@@ -96,6 +96,11 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # push bounded IN-lists (e.g. WAND's literal block restriction,
+        # <= MAX_LITERAL_BLOCKS ids) down to parquet so row-group stats
+        # can skip pruned blocks; the default threshold (10) would stop
+        # the pushdown exactly where it pays
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -116,3 +116,34 @@ def test_kmeans_separates_crafted_clusters(spark):
     # refinement assignment by parity must be consistent
     groups = {assign[i] for i in range(0, 40, 2)}, {assign[i] for i in range(1, 40, 2)}
     assert groups[0] != groups[1] and len(groups[0]) == 1 and len(groups[1]) == 1
+
+
+def test_kmeans_refine_bit_equals_local_replica(spark, emb):
+    """The DISTRIBUTED refinement must produce bit-identical centroids
+    to the pure-Python replica, at any parallelism: the per-dimension
+    sums are exact decimal(38,20) aggregations (order-independent) and
+    every float step mirrors exactly (sequential fold dot/norm, HALF_UP
+    round-6 before the argmax, shared driver-side update). This is the
+    equality that lets sim_ivf_topk_refined be DuckDB-hash-gated."""
+    from search_rs_spark.operators.ivf import kmeans_refine_local
+
+    rows = [
+        (int(r["vec_id"]), list(r["embedding"]) if r["embedding"] is not None else None)
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    local_c, local_obj = kmeans_refine_local(rows, n_iter=2)
+
+    spark_c, spark_obj = kmeans_refine(emb, n_iter=2)
+    assert len(spark_c) == len(local_c)
+    for (cid_s, cv_s), (cid_l, cv_l) in zip(spark_c, local_c):
+        assert cid_s == cid_l
+        assert cv_s == cv_l, f"centroid {cid_s} diverged"
+    # objectives are float-averaged (not bit-pinned) but must agree well
+    # and both be non-decreasing
+    for a, b in zip(spark_obj, local_obj):
+        assert abs(a - b) < 1e-9
+    assert all(b >= a - 1e-12 for a, b in zip(spark_obj, spark_obj[1:]))
+
+    # partitioning independence of the distributed side
+    spark_c2, _ = kmeans_refine(emb.repartition(7), n_iter=2)
+    assert spark_c2 == spark_c

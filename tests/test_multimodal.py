@@ -100,3 +100,30 @@ def test_features_null_for_invalid(spark):
     )
     out = {r["asset_id"]: r["embedding"] for r in extract_features(d).collect()}
     assert out[0] is None and out[1] is not None
+
+
+def test_resize_multiframe_full_payload_keeps_every_frame(spark):
+    """A video payload carrying its FULL w*h*nf body must resize to the
+    unclamped per-frame budget nw*nh*nf — not just whatever bytes the
+    source happened to hold. fake_assets only ever emits w*h body bytes,
+    so this is the one path its corpus never exercises (round-3 ADVICE):
+    a crafted full-length 3-frame payload pins it."""
+    from search_rs_spark.operators.multimodal import resize_assets
+
+    w, h, nf = 64, 48, 3
+    body = bytes((i * 7 + 3) % 251 for i in range(w * h * nf))
+    d = spark.createDataFrame(
+        [(0, "video", pack_header(w, h, nf) + body)],
+        "asset_id long, kind string, payload binary",
+    )
+    out = resize_assets(d, max_side=32).collect()[0]["payload"]
+    raw = bytes(out)
+    import struct as _s
+
+    nw, nh, got_nf = _s.unpack("<III", raw[4:16])
+    # aspect preserved, floor, scale = 32/64
+    assert (nw, nh, got_nf) == (32, 24, nf)
+    # UNCLAMPED per-frame budget: all nf frames' worth of bytes kept
+    assert len(raw) - 16 == nw * nh * nf
+    # and the kept bytes are the source prefix (stub truncation contract)
+    assert raw[16:] == body[: nw * nh * nf]

@@ -2,7 +2,8 @@
 its per-block upper bounds must dominate every true doc score (the
 safety invariant pruning rests on — including duplicate-token queries,
 where the window component can exceed 3.0), and its block protocol
-must stay distributed (no literal IN-lists, no full-metadata collect).
+must stay distributed (bounded-literal or semi-join block
+restrictions, no full-metadata collect).
 """
 
 import math
@@ -209,10 +210,14 @@ def test_wand_duplicate_tokens_with_pruning_firing(dup_index):
     assert any(u < theta for u in ubs), (sorted(ubs), theta)
 
 
-def test_wand_plan_has_no_block_id_literal_in_list(dup_index):
-    """The block protocol must be join-based: no literal IN-list over
-    block ids in the optimized plan of the pruned exact pass, and the
-    block restriction appears as a LEFT SEMI join."""
+def test_wand_block_restriction_forms(dup_index):
+    """Two block-restriction forms, each with the right plan shape:
+    a DataFrame restriction must be a broadcast LEFT SEMI join with NO
+    literal block_id IN-list (the unbounded case — an arbitrarily large
+    literal predicate would blow up plan compile time), while a bounded
+    list restriction must fold into the scan as a literal filter (the
+    row-group-prunable fast path wand.py uses under MAX_LITERAL_BLOCKS)
+    and produce identical rows."""
     from search_rs_spark.operators.bm25 import resolve_query_terms, score_candidates
 
     terms = resolve_query_terms(dup_index, DUP_QUERY)
@@ -220,4 +225,94 @@ def test_wand_plan_has_no_block_id_literal_in_list(dup_index):
     df = score_candidates(dup_index, terms, blocks=blocks)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert not re.search(r"block_id#\d+L? IN \(", plan), plan[:4000]
-    assert "LeftSemi" in plan
+    assert re.search(r"Join LeftSemi, \(block_id#", plan), plan[:4000]
+
+    ids = sorted(int(r["block_id"]) for r in blocks.collect())
+    df_lit = score_candidates(dup_index, terms, blocks=ids)
+    plan_lit = df_lit._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"block_id#\d+L? IN \(", plan_lit) or "INSET" in plan_lit, (
+        plan_lit[:4000]
+    )
+    assert not re.search(r"Join LeftSemi, \(block_id#", plan_lit), plan_lit[:4000]
+    a = sorted((r["doc_id"], round(r["score"], 9)) for r in df.collect())
+    b = sorted((r["doc_id"], round(r["score"], 9)) for r in df_lit.collect())
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def spread_index(spark, tmp_path_factory):
+    """A corpus where block pruning CAN pay, auto-gates passing: many
+    spans (2000 docs, block_span=4 -> 500 spans), a rare high-idf term
+    ('bravo', docs 0-24 -> 7 spans) next to a ubiquitous low-idf one
+    ('alpha'), so the all-terms window bonus + idf spread concentrates
+    ub in a handful of spans instead of blanketing."""
+    filler = [
+        "red green blue stone river cloud", "iron wood glass paper light shade",
+        "north south east west upper lower", "first second third fourth fifth sixth",
+    ]
+    rows = []
+    for i in range(2000):
+        text = f"alpha {filler[i % 4]} {filler[(i // 4) % 4]} marker{i % 40}"
+        if i < 25:
+            text = text + " bravo"
+        u = f"https://example.org/spread/{i:08d}.html"
+        rows.append((u, _EPOCH, wrap_html(text), text, "en"))
+    wt = spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA)
+    out = str(tmp_path_factory.mktemp("idx_spread"))
+    build_index(spark, wt, out, min_f=0, max_p=1.0, block_span=4)
+    return SearchIndex.load(spark, out)
+
+
+def test_wand_protocol_fires_and_prunes_on_spread_corpus(
+    spread_index, monkeypatch
+):
+    """The regime test the round-3 verdict asked for: on a bm-spread /
+    partial-term-span corpus, AUTO mode must take the two-pass block
+    protocol (not bail — pinned by spying on the exhaustive fallback),
+    produce the exhaustive scorer's exact results, and the theta it
+    finds must prune the overwhelming majority of spans (the condition
+    under which the protocol pays at scale; the wall-clock demonstration
+    lives in BASELINE.md at 1M docs, where job-count overhead stops
+    dominating)."""
+    from search_rs_spark.operators import wand as wand_mod
+
+    q, k = "alpha bravo", 10
+
+    # the absolute-volume gate would (correctly) bail at test scale —
+    # sum_df ~= 2000 rows is far below any regime where the protocol
+    # pays; zero it so the RELATIVE gates and the protocol itself are
+    # what this test exercises
+    monkeypatch.setattr(wand_mod, "MIN_PRUNABLE_POSTINGS", 0)
+
+    calls = []
+    monkeypatch.setattr(
+        wand_mod,
+        "free_query",
+        lambda index, query, kk: calls.append((query, kk))
+        or (_ for _ in ()).throw(AssertionError("auto mode bailed to exhaustive")),
+    )
+    auto = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in free_query_wand(spread_index, q, k).collect()
+    ]
+    assert not calls
+    monkeypatch.undo()
+
+    exact = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in free_query_wand(spread_index, q, k, force_protocol=False).collect()
+    ]
+    assert auto == exact
+
+    # pruning effectiveness: theta (the k-th returned score) must kill
+    # >= 90% of the span pool — only spans that can hold 'bravo' or
+    # near-theta bm mass survive
+    from search_rs_spark.operators.bm25 import resolve_query_terms
+
+    terms = resolve_query_terms(spread_index, q)
+    ub = span_upper_bounds(spread_index, terms)
+    n_spans = ub.count()
+    theta = exact[-1][1]
+    survivors = ub.filter(F.col("ub") >= theta).count()
+    assert n_spans >= 400, n_spans
+    assert survivors <= 0.1 * n_spans, (survivors, n_spans)

@@ -76,6 +76,54 @@ def test_nested_flatten_equals_pairwise():
         assert got == expected, (qids, parrs, nt, got, expected)
 
 
+def test_hof_expr_equals_udf_on_spark(spark):
+    """The JVM-side higher-order-function window expression must be
+    BIT-identical to the pandas-UDF path over the property corpus —
+    same (qids, ps) nested shape score_candidates ships, including
+    non-covering docs (absent terms -> U32_MAX window) and duplicate
+    positions. This is the pinned A/B equality the round-3 verdict
+    asked for before switching the default to the HOF path."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from search_rs_spark.operators.window_score import (
+        window_score_expr,
+        window_score_nested_udf,
+    )
+
+    rng = random.Random(1234)
+    by_nt: dict[int, list] = {}
+    for i in range(200):
+        nt = rng.randint(1, 5)
+        qids, parrs = [], []
+        for qid in range(nt):
+            if rng.random() < 0.15:
+                continue
+            pos = sorted(rng.sample(range(500), rng.randint(1, 20)))
+            qids.append(qid)
+            parrs.append(pos)
+        if not qids:
+            continue
+        # collect_list order is nondeterministic in prod; shuffle here
+        order = list(range(len(qids)))
+        rng.shuffle(order)
+        by_nt.setdefault(nt, []).append(
+            (i, [qids[j] for j in order], [parrs[j] for j in order])
+        )
+    for nt, rows in by_nt.items():
+        df = spark.createDataFrame(
+            rows, "doc_id int, qids array<int>, ps array<array<int>>"
+        )
+        got = df.select(
+            "doc_id",
+            window_score_expr("qids", "ps", nt).alias("hof"),
+            window_score_nested_udf(nt)(F.col("qids"), F.col("ps")).alias("udf"),
+        ).collect()
+        for r in got:
+            assert r["hof"] == r["udf"], (nt, r)
+
+
 def test_min_window_np_equals_loop():
     import random
 
