@@ -41,6 +41,34 @@ NUM_RESULTS = 100  # search/src/main.rs:10
 # the bound work only pays off once the conjunction set is large
 PREFILTER_MIN_DOCS = 200_000
 
+# all-head-terms fused plan gate: when the Bonferroni lower bound on the
+# conjunction size (sum(df) - (m-1)*N over the m distinct terms — free,
+# from driver-side dfs) says the conjunction is at least this fraction
+# of the corpus, the theta prefilter cannot prune enough to pay for its
+# second scan+explode+positions shuffle, so score_candidates takes the
+# single-pass FUSED plan instead (one explode, one aggregate carrying
+# the position arrays next to the bm sums, no theta job, no persist)
+FUSED_CONJ_FRACTION = 0.25
+# heuristic extension of the same gate: the independence estimate
+# N * prod(df_i/N) of the conjunction size. Measured (min-of-N,
+# interleaved, rank-identical): a 5-head-term query (est 7.3e-4)
+# runs 1.8x faster fused at 1M docs (3.2 s vs 5.9 s) and 1.23x at
+# 10M (22.6 s vs 27.8 s) — the two-stage plan's second scan+explode
+# and theta job cost more than the wider positions shuffle. Term
+# co-occurrence in real text is positively correlated, so the
+# estimate UNDERSTATES the conjunction: errors only keep the
+# two-stage path, never mis-fuse a prunable query. Below the
+# threshold the two-stage path is kept on SCALE grounds, not local
+# measurement: a rare+ubiquitous planted query (est 5e-5) still ran
+# slightly faster fused at 1M (3.0 s vs 3.9 s) because the avoided
+# jobs outweigh the positions shuffle at that size — but fused
+# shuffles O(sum df) position arrays where two-stage shuffles
+# O(theta survivors), a gap that grows linearly with the corpus
+# while the avoided job overhead stays constant; at the target
+# 10^12-doc scale a "the cobaltunicorn" query must not shuffle the
+# whole corpus's "the" positions.
+FUSED_CONJ_EST_FRACTION = 2e-4
+
 
 def resolve_query_terms(index, query: str) -> list[tuple[int, str, int]]:
     """-> [(qid, term, df)]: tokenize, spellcheck, drop unmatched (mod.rs:141-146).
@@ -145,6 +173,46 @@ def scored_hits(
     )
 
 
+def _score_fused(e: DataFrame, num_tokens: int) -> DataFrame:
+    """Single-pass scoring for corpus-sized conjunctions: ONE explode,
+    ONE aggregate that carries the per-(doc, qid) position arrays next
+    to the bm sums, window computed straight off the aggregated arrays.
+
+    vs the two-stage prefilter this removes the second postings
+    scan+explode, the second per-doc shuffle, the theta top-k job and
+    the persist — at the cost of shuffling every candidate's position
+    arrays instead of only the theta survivors'. That trade wins
+    exactly when theta cannot prune, i.e. the head-query regime the
+    FUSED_CONJ_FRACTION gate detects. Scores are bit-identical to the
+    split plan: a doc missing a query token id gets the same closed
+    form ``3*nt/U32_MAX + bm/dl`` (the window expression yields
+    U32_MAX there), a conjunction doc the same ``3*nt/window + bm/dl``.
+    """
+    import os
+
+    from .window_score import U32_MAX, WINDOW_SCORE_MULTIPLIER
+
+    agg = e.groupBy("doc_id", "dl").agg(
+        F.sum("bm").alias("bm_sum"),
+        F.collect_list("qid").alias("qids"),
+        F.collect_list("positions").alias("ps"),
+    )
+    eps = WINDOW_SCORE_MULTIPLIER * num_tokens / U32_MAX
+    bm_norm = BM25_SCORE_MULTIPLIER * F.col("bm_sum") / F.col("dl")
+    # one row per (term, doc) upstream, so qids holds distinct ids
+    is_conj = F.size("qids") == num_tokens
+    if os.environ.get("SPARK_GRAFT_WINDOW_IMPL", "hof") == "udf":
+        from .window_score import window_score_nested_udf
+
+        wscore = window_score_nested_udf(num_tokens)(F.col("qids"), F.col("ps"))
+    else:
+        from .window_score import window_score_expr
+
+        wscore = window_score_expr("qids", "ps", num_tokens)
+    score = F.when(is_conj, wscore).otherwise(F.lit(eps)) + bm_norm
+    return agg.select("doc_id", score.alias("score"))
+
+
 def score_candidates(
     index,
     terms: list[tuple[int, str, int]],
@@ -152,6 +220,7 @@ def score_candidates(
     k: int | None = None,
     cleanup: list | None = None,
     prefilter: bool | None = None,
+    fused: bool | None = None,
 ) -> DataFrame:
     """-> (doc_id, score): exact combined scores of candidate docs.
 
@@ -185,12 +254,42 @@ def score_candidates(
     theta pass costs more than it saves (measured: +1.3 s/query at
     5k docs, -12 s on the 1M-doc all-head worst case). True/False
     force it either way (tests force True on small corpora).
+
+    ``fused``: None (default) auto-selects the single-pass fused plan
+    (:func:`_score_fused`) when the zero-cost Bonferroni bound proves
+    the conjunction is >= FUSED_CONJ_FRACTION of the corpus — the
+    regime where theta provably cannot prune its pass's cost back.
+    True forces it (tests), False disables.
     """
     from .window_score import U32_MAX, WINDOW_SCORE_MULTIPLIER
 
     num_tokens = len(terms)
     n_distinct = len({t for _, t, _ in terms})
     e = scored_hits(index, terms, blocks=blocks)
+
+    if prefilter is None:
+        auto_prefilter = index.num_docs >= PREFILTER_MIN_DOCS
+    else:
+        auto_prefilter = prefilter
+    if (
+        fused is not False
+        and k is not None
+        and auto_prefilter
+        and blocks is None
+        and n_distinct > 1
+    ):
+        dfs = {t: df for _, t, df in terms}
+        n = max(index.num_docs, 1)
+        conj_lb = sum(dfs.values()) - (len(dfs) - 1) * n
+        conj_est = float(n)
+        for df in dfs.values():
+            conj_est *= df / n
+        if (
+            fused
+            or conj_lb >= FUSED_CONJ_FRACTION * n
+            or conj_est >= FUSED_CONJ_EST_FRACTION * n
+        ):
+            return _score_fused(e, num_tokens)
     flags = e.groupBy("doc_id", "dl").agg(
         F.sum("bm").alias("bm_sum"), F.countDistinct("qid").alias("nq_present")
     )
@@ -198,9 +297,7 @@ def score_candidates(
     bm_norm = BM25_SCORE_MULTIPLIER * F.col("bm_sum") / F.col("dl")
     is_conj = F.col("nq_present") == num_tokens
 
-    if prefilter is None:
-        prefilter = index.num_docs >= PREFILTER_MIN_DOCS
-    if k is not None and prefilter:
+    if k is not None and auto_prefilter:
         assert cleanup is not None, "k-pruned scoring needs a cleanup list"
         flags = flags.persist()
         cleanup.append(flags)

@@ -120,7 +120,9 @@ def test_two_stage_prefilter_is_lossless(wand_index, q, k):
     )
     cleanup = []
     pruned = (
-        score_candidates(wand_index, terms, k=k, cleanup=cleanup, prefilter=True)
+        score_candidates(
+            wand_index, terms, k=k, cleanup=cleanup, prefilter=True, fused=False
+        )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .collect()
@@ -131,6 +133,71 @@ def test_two_stage_prefilter_is_lossless(wand_index, q, k):
     assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in exhaustive]
     for p, e in zip(pruned, exhaustive):
         assert math.isclose(p["score"], e["score"], rel_tol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "q,k", [(q, k) for q, k in QUERIES if len(set(q.split())) > 1]
+)
+def test_fused_single_pass_plan_is_lossless(wand_index, q, k):
+    """The fused all-head plan (one explode, one aggregate carrying the
+    position arrays, no theta job — forced on; the conj_lb auto gate
+    would skip it at this corpus size) must reproduce the unpruned
+    scoring's top-k with bit-identical scores."""
+    from search_rs_spark.operators.bm25 import resolve_query_terms, score_candidates
+
+    terms = resolve_query_terms(wand_index, q)
+    exhaustive = (
+        score_candidates(wand_index, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    fused = (
+        score_candidates(wand_index, terms, k=k, prefilter=True, fused=True)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    assert [r["doc_id"] for r in fused] == [r["doc_id"] for r in exhaustive]
+    for f, e in zip(fused, exhaustive):
+        assert math.isclose(f["score"], e["score"], rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_fused_auto_gate_is_conjunction_bound_driven(wand_index, monkeypatch):
+    """Auto mode takes the fused plan iff the Bonferroni conjunction
+    lower bound sum(df) - (m-1)*N clears FUSED_CONJ_FRACTION * N."""
+    from search_rs_spark.operators import bm25 as bm25_mod
+
+    called = []
+    real = bm25_mod._score_fused
+
+    def spy(e, num_tokens):
+        called.append(num_tokens)
+        return real(e, num_tokens)
+
+    monkeypatch.setattr(bm25_mod, "_score_fused", spy)
+    n = wand_index.num_docs
+    # synthetic head terms: every df = N => conj_lb = N >= fraction * N
+    head_terms = [(0, "the", n), (1, "of", n)]
+    bm25_mod.score_candidates(
+        wand_index, head_terms, k=5, cleanup=[], prefilter=True
+    )
+    assert called == [2], "all-head dfs must route to the fused plan"
+    called.clear()
+    # rare terms: conj_lb <= 0 AND independence estimate ~ 6/N docs
+    # => theta path
+    rare_terms = [(0, "the", 3), (1, "of", 2)]
+    bm25_mod.score_candidates(
+        wand_index, rare_terms, k=5, cleanup=[], prefilter=True
+    )
+    assert called == [], "rare dfs must keep the two-stage theta path"
+    # mid terms: Bonferroni bound is vacuous (sum(df) = N) but the
+    # independence estimate N/4 clears FUSED_CONJ_EST_FRACTION
+    mid_terms = [(0, "the", n // 2), (1, "of", n // 2)]
+    bm25_mod.score_candidates(
+        wand_index, mid_terms, k=5, cleanup=[], prefilter=True
+    )
+    assert called == [2], "mid dfs must route to the fused plan via the estimate"
 
 
 # ---------------------------------------------------------------------------
