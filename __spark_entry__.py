@@ -217,6 +217,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _index(s, d, stem=False), "data query", k=NOSTEM_K
     ).select("doc_id", F.round("score", 6).alias("score"))
 
+    # the FUSED single-pass plan (one explode, one positions-carrying
+    # aggregate, no theta job — what auto mode takes for corpus-sized
+    # conjunctions; forced here because the driver sf corpora are tiny)
+    # under the SAME 2-term DuckDB window oracle: hash-gates the fused
+    # aggregate's aligned collect_lists + window expression dataflow
+    def _fused_2term(s, d):
+        from search_rs_spark.operators.bm25 import (
+            resolve_query_terms,
+            score_candidates,
+        )
+
+        idx = _index(s, d, stem=False)
+        terms = resolve_query_terms(idx, "data query")
+        return score_candidates(
+            idx, terms, k=NOSTEM_K, prefilter=True, fused=True
+        ).select("doc_id", F.round("score", 6).alias("score"))
+
+    q["engine_free_query_nostem_2term_fused"] = _fused_2term
+
     # text analysis
     q["ta_token_counts"] = lambda s, d: ta.token_counts(_docs(s, d))
     q["ta_lang_id"] = lambda s, d: ta.lang_id(_docs(s, d))
@@ -334,6 +353,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "engine_free_query_nostem_2term": sp.engine_free_query_nostem_2term_sql(
             "data", "query", k=NOSTEM_K
+        ),
+        "engine_free_query_nostem_2term_fused": (
+            sp.engine_free_query_nostem_2term_sql("data", "query", k=NOSTEM_K)
         ),
         "core_doc_lengths": sp.DOC_LENGTHS_SQL,
         "core_term_df": sp.TERM_DF_SQL,
