@@ -56,6 +56,28 @@ BM25_K1 = 1.2  # mod.rs:27
 BM25_B = 0.75  # mod.rs:28
 DEFAULT_BLOCK_SPAN = 4096
 
+# the postings aggregate is the build's one memory-heavy shuffle: each
+# task buffers its partition's (term, doc, positions) fragments in
+# collect_list state, so the per-partition fragment count — not the
+# executor heap — decides whether it fits. sum(df) over the kept
+# vocabulary counts those fragments exactly and is known driver-side
+# before the stage runs, so the stage sizes its own shuffle as
+# ceil(sum_df / this) partitions (never below the session conf).
+# Measured, 10M docs / 912M fragments, postings stage only: 64
+# partitions (14.2M fragments each) FAILS at 8g heap
+# (SparkOutOfMemory in the aggregate, then runaway multi-pass sort
+# spill past 44 GB scratch) and runs 518 s at 48g; 256 partitions
+# (3.6M each) completes at 8g in 333 s and is no slower at 48g
+# (~491 s). 4M fragments/partition ≈ a few hundred MB of aggregate
+# state — fits default executor memory with headroom.
+POSTINGS_FRAGMENTS_PER_PARTITION = 4_000_000
+
+
+def postings_shuffle_partitions(n_fragments: int, conf_partitions: int) -> int:
+    """Partition count for the postings aggregate: data-sized, never
+    below the session's configured shuffle parallelism."""
+    return max(int(conf_partitions), -(-int(n_fragments) // POSTINGS_FRAGMENTS_PER_PARTITION))
+
 
 def build_index(
     spark: SparkSession,
@@ -248,6 +270,17 @@ def _build_downstream(
         blocked = kept.withColumn(
             "block_id", (F.col("doc_id") / block_span).cast("long")
         )
+        # size this stage's shuffle from the fragment count (sum of kept
+        # dfs — one tiny scan of the checkpointed vocabulary) so each
+        # task's collect_list state fits executor memory regardless of
+        # corpus size; see POSTINGS_FRAGMENTS_PER_PARTITION. The
+        # explicit hash partitioning on a subset of the grouping keys
+        # satisfies the aggregate's distribution, so no second exchange
+        # is inserted.
+        n_frag = vocab.agg(F.sum("df")).collect()[0][0] or 0
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        agg_parts = postings_shuffle_partitions(n_frag, conf_parts)
+        blocked = blocked.repartition(agg_parts, "term_id", "block_id")
         grouped = blocked.groupBy("term_id", "term", "df", "block_id").agg(
             F.sort_array(
                 F.collect_list(F.struct("doc_id", "tf", "doc_len", "positions"))
@@ -267,7 +300,9 @@ def _build_downstream(
                 F.transform(F.col("plist"), lambda e: _norm_expr(e, avgdl))
             ).alias("block_max"),
         ).repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            # same data-sized count: the per-partition (term, block_id)
+            # sort buffers full block rows, the other spill-prone site
+            agg_parts,
             F.col("term"),
         ).sortWithinPartitions("term", "block_id")
         if encode_blobs:

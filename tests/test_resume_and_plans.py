@@ -105,3 +105,45 @@ def test_snippets(spark, small_index):
     assert len(snip) == 5
     for r in snip:
         assert r["snippet"] and len(r["snippet"]) <= 250
+
+
+def test_postings_shuffle_partitions_sizing():
+    """Data-sized postings shuffle: never below the session conf, grows
+    as ceil(fragments / POSTINGS_FRAGMENTS_PER_PARTITION). The 10M-doc
+    corpus (912M fragments) must land well above 64 — the measured
+    8g-heap failure point — and tiny corpora must stay at the conf."""
+    from search_rs_spark.plans.build import (
+        POSTINGS_FRAGMENTS_PER_PARTITION,
+        postings_shuffle_partitions,
+    )
+
+    assert postings_shuffle_partitions(0, 32) == 32
+    assert postings_shuffle_partitions(456_000, 32) == 32  # sf0.1 scale
+    assert postings_shuffle_partitions(911_875_678, 64) == 228  # 10M docs
+    assert (
+        postings_shuffle_partitions(POSTINGS_FRAGMENTS_PER_PARTITION + 1, 1) == 2
+    )
+
+
+def test_postings_aggregate_reuses_explicit_partitioning(spark):
+    """repartition(n, subset-of-grouping-keys) must satisfy the
+    aggregate's distribution: exactly ONE shuffle exchange in the plan,
+    so the data-sized partitioning actually controls the aggregate's
+    task memory (no second conf-sized exchange behind it)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("term_id"),
+        (F.col("id") % 7).cast("string").alias("term"),
+        (F.col("id") % 11).alias("block_id"),
+        F.col("id").alias("doc_id"),
+    )
+    plan = (
+        df.repartition(5, "term_id", "block_id")
+        .groupBy("term_id", "term", "block_id")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

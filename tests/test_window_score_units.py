@@ -95,7 +95,10 @@ def test_hof_expr_equals_udf_on_spark(spark):
     rng = random.Random(1234)
     by_nt: dict[int, list] = {}
     for i in range(200):
-        nt = rng.randint(1, 5)
+        # widths cover all three expression specializations: nt=2
+        # (adjacent-pair zip_with), 3..8 (scalar-unrolled state incl.
+        # the boundary 8), and >8 (array-state general case)
+        nt = rng.choice([1, 2, 3, 4, 5, 8, 9, 12])
         qids, parrs = [], []
         for qid in range(nt):
             if rng.random() < 0.15:
