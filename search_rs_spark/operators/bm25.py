@@ -188,8 +188,6 @@ def _score_fused(e: DataFrame, num_tokens: int) -> DataFrame:
     form ``3*nt/U32_MAX + bm/dl`` (the window expression yields
     U32_MAX there), a conjunction doc the same ``3*nt/window + bm/dl``.
     """
-    import os
-
     from .window_score import U32_MAX, WINDOW_SCORE_MULTIPLIER
 
     agg = e.groupBy("doc_id", "dl").agg(
@@ -201,16 +199,39 @@ def _score_fused(e: DataFrame, num_tokens: int) -> DataFrame:
     bm_norm = BM25_SCORE_MULTIPLIER * F.col("bm_sum") / F.col("dl")
     # one row per (term, doc) upstream, so qids holds distinct ids
     is_conj = F.size("qids") == num_tokens
-    if os.environ.get("SPARK_GRAFT_WINDOW_IMPL", "hof") == "udf":
+    score = F.when(is_conj, _window_col(num_tokens)).otherwise(F.lit(eps)) + bm_norm
+    return agg.select("doc_id", score.alias("score"))
+
+
+def _window_col(num_tokens: int):
+    """Window-score Column over the aggregated (qids, ps) shape.
+
+    SPARK_GRAFT_WINDOW_IMPL selects the implementation — all three are
+    bit-identical (property-pinned in tests/test_window_score_units.py):
+
+    - ``hof`` (default): JVM-side SQL higher-order-function expression —
+      no Python workers in the query path.
+    - ``udfbatch``: Arrow-batched numpy kernel vectorised across the
+      whole batch (one lexsort + one segmented accumulate per batch) —
+      the fastest on corpus-sized conjunction sets.
+    - ``udf``: the per-doc numpy loop (legacy fallback / cross-check).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    impl = os.environ.get("SPARK_GRAFT_WINDOW_IMPL", "hof")
+    if impl == "udf":
         from .window_score import window_score_nested_udf
 
-        wscore = window_score_nested_udf(num_tokens)(F.col("qids"), F.col("ps"))
-    else:
-        from .window_score import window_score_expr
+        return window_score_nested_udf(num_tokens)(F.col("qids"), F.col("ps"))
+    if impl == "udfbatch":
+        from .window_score import window_score_batch_udf
 
-        wscore = window_score_expr("qids", "ps", num_tokens)
-    score = F.when(is_conj, wscore).otherwise(F.lit(eps)) + bm_norm
-    return agg.select("doc_id", score.alias("score"))
+        return window_score_batch_udf(num_tokens)(F.col("qids"), F.col("ps"))
+    from .window_score import window_score_expr
+
+    return window_score_expr("qids", "ps", num_tokens)
 
 
 def score_candidates(
@@ -350,22 +371,7 @@ def score_candidates(
             F.collect_list("positions").alias("ps"),
         )
     )
-    # window implementation: "hof" (default) is the JVM-side
-    # higher-order-function expression — no Arrow round-trip, no Python
-    # workers on the conjunction set (the corpus-sized candidate set of
-    # head queries made the pandas UDF the round-3 scale bottleneck);
-    # "udf" keeps the numpy pandas-UDF path (A/B + fallback). Both are
-    # bit-identical (pinned in tests/test_window_score_units.py).
-    import os
-
-    if os.environ.get("SPARK_GRAFT_WINDOW_IMPL", "hof") == "udf":
-        from .window_score import window_score_nested_udf
-
-        wscore = window_score_nested_udf(num_tokens)(F.col("qids"), F.col("ps"))
-    else:
-        from .window_score import window_score_expr
-
-        wscore = window_score_expr("qids", "ps", num_tokens)
+    wscore = _window_col(num_tokens)
     conj_scored = conj.join(tpos, "doc_id").select(
         "doc_id", (wscore + bm_norm).alias("score")
     )

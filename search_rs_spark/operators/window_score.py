@@ -171,6 +171,120 @@ def window_score_expr(qids: str, ps: str, num_tokens: int):
     )
 
 
+def min_windows_batch(pos, qid, doc_sizes, num_tokens: int):
+    """Vectorised minimal covering windows for a whole BATCH of docs in
+    one pass — no per-doc Python or numpy-call overhead.
+
+    ``pos``/``qid`` are flat int64 arrays over all docs' (position,
+    token_id) pairs, doc-major; ``doc_sizes`` gives each doc's pair
+    count (sum == len(pos)). Returns one window per doc (U32_MAX when
+    not covering). Same quantity as :func:`min_window` per doc.
+
+    Method: one global lexsort by (doc, pos, qid), then the
+    per-right-endpoint formulation of :func:`min_window_np` batched
+    with a leak-guard — M[q, i] holds the GLOBAL index of the last
+    occurrence of token q at-or-before i via one maximum.accumulate
+    over the whole batch; an occurrence is only valid for doc d if the
+    index falls inside d's segment (>= the doc's start), which exactly
+    cancels the cross-doc leakage of the global accumulate."""
+    import numpy as np
+
+    n_docs = len(doc_sizes)
+    L = int(len(pos))
+    if L == 0:
+        return np.full(n_docs, U32_MAX, dtype=np.int64)
+    doc_sizes = np.asarray(doc_sizes, dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), doc_sizes)
+    order = np.lexsort((qid, pos, doc_idx))
+    pos_s, qid_s = pos[order], qid[order]
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(doc_sizes[:-1], out=starts[1:])
+    start_of = np.repeat(starts, doc_sizes)  # doc-major order survives the sort
+    M = np.full((num_tokens, L), -1, dtype=np.int64)
+    M[qid_s, np.arange(L)] = np.arange(L)
+    np.maximum.accumulate(M, axis=1, out=M)
+    m = M.min(axis=0)
+    valid = m >= start_of
+    win = np.full(L, U32_MAX, dtype=np.int64)
+    win[valid] = pos_s[valid] - pos_s[m[valid]] + 1
+    # reduceat over nonempty docs only (an empty doc's start index can
+    # equal L or its successor's start, both illegal for reduceat);
+    # consecutive nonempty starts span exactly one doc's elements since
+    # the docs between them contribute zero elements
+    out = np.full(n_docs, U32_MAX, dtype=np.int64)
+    nonempty = doc_sizes > 0
+    if nonempty.any():
+        out[nonempty] = np.minimum.reduceat(win, starts[nonempty])
+    return out
+
+
+# cap on the nt x L last-seen matrix a single vectorised pass allocates
+# (int64 cells); wider/longer batches are processed in doc-aligned
+# chunks so memory stays bounded regardless of batch size or query width
+_BATCH_MATRIX_CELLS = 32_000_000
+
+
+def window_score_batch_udf(num_tokens: int):
+    """Arrow-batched pandas UDF computing ``3*nt/min_window`` for a
+    whole batch of docs with ONE flatten + ONE lexsort + ONE segmented
+    accumulate (:func:`min_windows_batch`) — removes the per-doc
+    Python/numpy-call overhead that dominates
+    :func:`window_score_nested_udf` on corpus-sized candidate sets."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def fn(qids, positions):
+        n = len(qids)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        chunks, lens, doc_sizes = [], [], np.zeros(n, dtype=np.int64)
+        flat_qids = []
+        for i, (q_arr, p_arrs) in enumerate(zip(qids, positions)):
+            total = 0
+            for q, p in zip(q_arr, p_arrs):
+                chunks.append(np.asarray(p, dtype=np.int64))
+                lens.append(len(p))
+                flat_qids.append(q)
+                total += len(p)
+            doc_sizes[i] = total
+        pos = (
+            np.concatenate(chunks)
+            if chunks
+            else np.empty(0, dtype=np.int64)
+        )
+        qid = np.repeat(
+            np.asarray(flat_qids, dtype=np.int64),
+            np.asarray(lens, dtype=np.int64),
+        )
+        # doc-aligned chunking keeps the nt x L matrix bounded
+        max_rows = max(1, _BATCH_MATRIX_CELLS // max(num_tokens, 1))
+        outs = []
+        lo_doc = 0
+        lo_el = 0
+        while lo_doc < n:
+            hi_doc = lo_doc
+            el = 0
+            while hi_doc < n and (el + doc_sizes[hi_doc] <= max_rows or el == 0):
+                el += doc_sizes[hi_doc]
+                hi_doc += 1
+            outs.append(
+                min_windows_batch(
+                    pos[lo_el : lo_el + el],
+                    qid[lo_el : lo_el + el],
+                    doc_sizes[lo_doc:hi_doc],
+                    num_tokens,
+                )
+            )
+            lo_doc, lo_el = hi_doc, lo_el + el
+        w = np.concatenate(outs)
+        return pd.Series(WINDOW_SCORE_MULTIPLIER * num_tokens / w, dtype="float64")
+
+    return F.pandas_udf(fn, T.DoubleType())
+
+
 _NUMPY_CUTOVER = 32  # below this, the python loop beats numpy overhead
 
 

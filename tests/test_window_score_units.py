@@ -148,3 +148,82 @@ def test_min_window_np_equals_loop():
         else:
             got = min_window_np([], [], nt)
         assert got == expected, (pairs, nt, got, expected)
+
+
+def test_min_windows_batch_equals_loop():
+    """The batch-vectorised kernel (one lexsort + leak-guarded global
+    accumulate over a whole batch) must equal the per-doc reference on
+    random multi-doc batches, including non-covering docs, absent
+    tokens, duplicate positions, and empty docs."""
+    import random
+
+    import numpy as np
+
+    from search_rs_spark.operators.window_score import (
+        U32_MAX,
+        min_window,
+        min_windows_batch,
+    )
+
+    rng = random.Random(4242)
+    for trial in range(60):
+        nt = rng.randint(1, 9)
+        n_docs = rng.randint(1, 40)
+        pos_l, qid_l, sizes, expected = [], [], [], []
+        for _ in range(n_docs):
+            pairs = []
+            for q in range(nt):
+                if rng.random() < 0.25:
+                    continue
+                for p in rng.sample(range(300), rng.randint(1, 15)):
+                    pairs.append((p, q))
+            sizes.append(len(pairs))
+            expected.append(min_window(sorted(pairs), nt))
+            pos_l.extend(p for p, _ in pairs)
+            qid_l.extend(q for _, q in pairs)
+        got = min_windows_batch(
+            np.asarray(pos_l, dtype=np.int64),
+            np.asarray(qid_l, dtype=np.int64),
+            np.asarray(sizes, dtype=np.int64),
+            nt,
+        )
+        assert list(got) == expected, (trial, nt, sizes, list(got), expected)
+
+
+def test_batch_udf_equals_hof_and_nested_on_spark(spark):
+    """Three-way bit-identity on the production (qids, ps) shape:
+    batch UDF == nested UDF == HOF expression, including the
+    doc-aligned chunking path (matrix cap forced tiny)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from search_rs_spark.operators import window_score as ws
+
+    rng = random.Random(777)
+    rows = []
+    for i in range(120):
+        nt = 4
+        qids, parrs = [], []
+        for qid in range(nt):
+            if rng.random() < 0.2:
+                continue
+            qids.append(qid)
+            parrs.append(sorted(rng.sample(range(400), rng.randint(1, 18))))
+        if qids:
+            rows.append((i, qids, parrs))
+    df = spark.createDataFrame(
+        rows, "doc_id int, qids array<int>, ps array<array<int>>"
+    )
+    orig_cap = ws._BATCH_MATRIX_CELLS
+    try:
+        ws._BATCH_MATRIX_CELLS = 64  # force many doc-aligned chunks
+        got = df.select(
+            ws.window_score_batch_udf(4)(F.col("qids"), F.col("ps")).alias("b"),
+            ws.window_score_nested_udf(4)(F.col("qids"), F.col("ps")).alias("u"),
+            ws.window_score_expr("qids", "ps", 4).alias("h"),
+        ).collect()
+    finally:
+        ws._BATCH_MATRIX_CELLS = orig_cap
+    for r in got:
+        assert r["b"] == r["u"] == r["h"], r
