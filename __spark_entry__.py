@@ -305,11 +305,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exclude_vec_id=0,
     )
 
-    # multimodal plumbing (stub kernels; rows-only). mm_features goes
-    # through features_signature: the harness's pandas canonicalizer
-    # cannot sort/hash a list-valued column, so the array<float>
-    # embedding is emitted as a '|'-joined string (the operator itself
-    # stays array-typed; same pattern as dd_minhash_sig).
+    # multimodal plumbing (stub kernels; hash-gated via driver-side
+    # literal-table oracles — everything fake_assets emits is a
+    # deterministic function of (seed, asset_id), so the expected
+    # outputs fold into DuckDB VALUES literals, same mechanism as the
+    # ANN hyperplane/centroid literals). mm_features goes through
+    # features_signature: the harness's pandas canonicalizer cannot
+    # sort/hash a list-valued column, so the array<float> embedding is
+    # emitted as a '|'-joined string (the operator itself stays
+    # array-typed; same pattern as dd_minhash_sig).
     from search_rs_spark.operators.multimodal import (
         extract_features,
         features_signature,
@@ -340,7 +344,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from search_rs_spark.functions import text_analysis as ta
-    from search_rs_spark.operators import dedup, ivf, similarity, sql_parity as sp
+    from search_rs_spark.operators import (
+        dedup,
+        ivf,
+        multimodal as mm,
+        similarity,
+        sql_parity as sp,
+    )
 
     qv = _query_vec("/root/testdata/sf0.01")
     return {
@@ -398,4 +408,7 @@ def oracle_sql() -> dict[str, str]:
             k=10,
             exclude_vec_id=0,
         ),
+        "mm_decode_metadata": mm.decode_metadata_oracle_sql(500),
+        "mm_resize_metadata": mm.resize_metadata_oracle_sql(500, max_side=32),
+        "mm_features": mm.features_signature_oracle_sql(500),
     }

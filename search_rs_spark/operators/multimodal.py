@@ -226,6 +226,120 @@ def features_signature(features: DataFrame) -> DataFrame:
     )
 
 
+# --- DuckDB oracles (driver-side literal tables) ---------------------
+#
+# Everything fake_assets emits is a deterministic function of
+# (seed, asset_id), so the expected output of each multimodal operator
+# can be recomputed driver-side WITHOUT Spark and folded into the
+# oracle SQL as a VALUES literal table — the same mechanism as the ANN
+# hyperplane/centroid literals (similarity.py / ivf.py). What the hash
+# gate then pins is the distributed dataflow itself: the mapInPandas
+# generation, the 16-byte header pack, the Arrow binary round trip,
+# the decode/resize/featurize kernels and their schemas — all of which
+# must reproduce the directly-computed values bit-for-bit.
+
+
+def _expected_assets(n: int, seed: int = 5):
+    """(asset_id, kind, w, h, n_frames, body) per fake_assets' spec."""
+    import hashlib
+
+    kinds = ["image", "audio", "video"]
+    out = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        h = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=8).digest()
+        w = 16 + h[0] % 64
+        ht = 16 + h[1] % 64
+        frames = 1 if kind == "image" else 1 + h[2] % 30
+        body = (h * ((w * ht) // 8 + 1))[: w * ht]
+        out.append((i, kind, w, ht, frames, body))
+    return out
+
+
+def _meta_values_sql(rows) -> str:
+    """VALUES literal table in decode_metadata's schema; rows are
+    (asset_id, kind, width, height, n_frames, payload_bytes)."""
+    vals = ",\n".join(
+        f"({i}, '{k}', {w}, {h}, {nf}, {pb})" for i, k, w, h, nf, pb in rows
+    )
+    return (
+        "SELECT CAST(c0 AS BIGINT) AS asset_id, c1 AS kind, "
+        "CAST(c2 AS INTEGER) AS width, CAST(c3 AS INTEGER) AS height, "
+        "CAST(c4 AS INTEGER) AS n_frames, CAST(c5 AS BIGINT) AS payload_bytes, "
+        "TRUE AS valid "
+        f"FROM (VALUES\n{vals}\n) t(c0, c1, c2, c3, c4, c5)"
+    )
+
+
+def decode_metadata_oracle_sql(n: int = 500, seed: int = 5) -> str:
+    """Oracle for decode_metadata(fake_assets(spark, n)): every payload
+    is valid by construction and carries 16 header + w*h body bytes."""
+    rows = [
+        (i, k, w, h, nf, 16 + w * h)
+        for i, k, w, h, nf, _ in _expected_assets(n, seed)
+    ]
+    return _meta_values_sql(rows)
+
+
+def resize_metadata_oracle_sql(
+    n: int = 500, seed: int = 5, max_side: int = 32
+) -> str:
+    """Oracle for decode_metadata(resize_assets(fake_assets(n), max_side)):
+    mirrors resize_assets' scaling arithmetic — aspect-preserving floor
+    scale (min 1), n_frames preserved, body truncated to the per-frame
+    budget clamped by the bytes actually present (w*h)."""
+    rows = []
+    for i, k, w, h, nf, _ in _expected_assets(n, seed):
+        if max(w, h) <= max_side:
+            rows.append((i, k, w, h, nf, 16 + w * h))
+            continue
+        scale = max_side / max(w, h)
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        rows.append((i, k, nw, nh, nf, 16 + min(nw * nh * nf, w * h)))
+    return _meta_values_sql(rows)
+
+
+def _format_number_half_up(x: float, d: int = 6) -> str:
+    """Replicates Spark's format_number(x, 6) (java.text.DecimalFormat,
+    RoundingMode.HALF_UP on the exact decimal expansion of the double;
+    no grouping separators appear for |x| < 1000)."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-d)
+    return str(decimal.Decimal(float(x)).quantize(q, decimal.ROUND_HALF_UP))
+
+
+def features_signature_oracle_sql(
+    n: int = 500, seed: int = 5, dim: int = FEATURE_DIM
+) -> str:
+    """Oracle for features_signature(extract_features(fake_assets(n))):
+    recomputes the blake2b featurizer directly over the reconstructed
+    payload bytes and formats with HALF_UP decimals (format_number
+    semantics; equality over the full driver corpus is pinned in
+    tests/test_multimodal.py)."""
+    import hashlib
+
+    import numpy as np
+
+    vals = []
+    for i, k, w, h, nf, body in _expected_assets(n, seed):
+        raw = pack_header(w, h, nf) + body
+        buf = b""
+        j = 0
+        while len(buf) < 4 * dim:
+            buf += hashlib.blake2b(raw + bytes([j]), digest_size=32).digest()
+            j += 1
+        u = np.frombuffer(buf[: 4 * dim], dtype=np.uint32).astype(np.float64)
+        emb = (u / np.float64(2**31) - 1.0).astype(np.float32)
+        sig = "|".join(_format_number_half_up(v) for v in emb)
+        vals.append(f"({i}, '{k}', '{sig}')")
+    body_sql = ",\n".join(vals)
+    return (
+        "SELECT CAST(c0 AS BIGINT) AS asset_id, c1 AS kind, c2 AS emb_sig "
+        f"FROM (VALUES\n{body_sql}\n) t(c0, c1, c2)"
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 5) -> DataFrame:
     """(asset_id, frame_idx) sampling plan for video assets — the
     explode that a real frame extractor would map over."""

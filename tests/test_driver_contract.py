@@ -80,16 +80,15 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatch {mismatches[0]}"
 
 
-# the genuinely non-SQL-expressible cells (stemmed engine; blake2b stub
-# featurizer) — everything else, including every ANN probe path and the
-# no-stem engine plans, is in ORACLE_KEYS above
+# the genuinely non-SQL-expressible cells (stemmed engine — stemming
+# has no SQL form, and each has a hash-gated stem=False twin above) —
+# everything else, including every ANN probe path, the no-stem engine
+# plans, and the multimodal stub kernels (driver-side literal-table
+# oracles), is in ORACLE_KEYS above
 ROWS_ONLY = [
     "engine_free_query",
     "engine_boolean_query",
     "engine_wand_query",
-    "mm_decode_metadata",
-    "mm_resize_metadata",
-    "mm_features",
 ]
 
 

@@ -127,3 +127,31 @@ def test_resize_multiframe_full_payload_keeps_every_frame(spark):
     assert len(raw) - 16 == nw * nh * nf
     # and the kept bytes are the source prefix (stub truncation contract)
     assert raw[16:] == body[: nw * nh * nf]
+
+
+def test_format_number_half_up_matches_spark(spark):
+    """The mm_features oracle formats its literal embeddings with
+    _format_number_half_up, which claims format_number(x, 6) semantics
+    (java DecimalFormat, HALF_UP on the exact decimal expansion of the
+    double). Pin the claim on adversarial values: near-halfway points,
+    carries across the integer boundary, signed near-zeros — through a
+    FLOAT column, the dtype the embedding actually has."""
+    from pyspark.sql import functions as F
+
+    from search_rs_spark.operators.multimodal import _format_number_half_up
+
+    vals = [
+        0.1234565, -0.1234565, 0.1234555, -0.1234555,
+        0.9999995, -0.9999995, 0.99999949, -0.99999949,
+        5e-7, -5e-7, 4.9e-7, -4.9e-7, 0.0, 1.0, -1.0,
+        0.5, -0.5, 0.0000015, -0.0000015,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x float")
+    got = [
+        r["s"]
+        for r in df.select(F.format_number("x", 6).alias("s")).collect()
+    ]
+    import numpy as np
+
+    want = [_format_number_half_up(np.float32(v)) for v in vals]
+    assert got == want, list(zip(vals, got, want))
