@@ -132,10 +132,19 @@ def scored_hits(
       (it prunes the explode, not the scan).
     """
     spark = index.spark
-    qdf = spark.createDataFrame(
-        [(qid, term, float(index.idf(df))) for qid, term, df in terms],
-        ["qid", "term", "idf"],
+    # one spark.sql call instead of createDataFrame: the terms table is
+    # a handful of rows and createDataFrame's py4j/serialization round
+    # trip costs ~0.15 s per query — measurable against a warm sub-2 s
+    # query. repr() emits the shortest round-trip decimal, and an exact
+    # DECIMAL literal casts to the identical double. Vocabulary terms
+    # are alnum-only (tokenizer contract); quotes escaped defensively.
+    rows = ", ".join(
+        "({}, '{}', CAST({!r} AS DOUBLE))".format(
+            int(qid), term.replace("'", "''"), float(index.idf(df))
+        )
+        for qid, term, df in terms
     )
+    qdf = spark.sql(f"SELECT * FROM VALUES {rows} AS t(qid, term, idf)")
     # explicit IN-filter so the parquet scan gets PushedFilters on the
     # term-sorted postings files (row-group skipping), in addition to the
     # broadcast join that attaches qid/idf
@@ -394,7 +403,9 @@ def materialize_topk(index, rows) -> DataFrame:
     )
 
 
-def free_query(index, query: str, k: int = NUM_RESULTS) -> DataFrame:
+def free_query(
+    index, query: str, k: int = NUM_RESULTS, plan_cache: bool = True
+) -> DataFrame:
     """-> DataFrame (doc_id, url, score), score-desc / doc_id-asc, k rows.
 
     Small corpora (< PREFILTER_MIN_DOCS) stay one fully lazy plan —
@@ -403,6 +414,16 @@ def free_query(index, query: str, k: int = NUM_RESULTS) -> DataFrame:
     the call (they are the only rows that ever reach the driver) so the
     prefilter's persisted candidate aggregate releases
     deterministically.
+
+    ``plan_cache`` (small-corpus path): reuse the analyzed lazy plan
+    for a repeated (query, k) — and, via AQE's per-Dataset query-stage
+    memoization, the materialized shuffle stages of a prior collect.
+    Results are identical either way (the index is an immutable
+    checkpoint). Benchmarks measuring cold query arrival should pass
+    False: a cache-hit collect measures shuffle replay, not execution
+    (bench.py does; the server's repeated-query regime is exactly
+    where True is the honest setting — the reference server answers
+    those from a full RESULT cache, main.rs:123-128).
     """
     terms = resolve_query_terms(index, query)
     if not terms:
@@ -415,18 +436,29 @@ def free_query(index, query: str, k: int = NUM_RESULTS) -> DataFrame:
         # min-of-3: 1.88/1.87/1.90 s -> 1.14/1.03/1.07 s on the bench
         # queries, rank-identical). Single-distinct-term queries keep
         # score_candidates' closed form (no positions aggregate at all).
-        n_distinct = len({t for _, t, _ in terms})
-        scored = (
-            _score_fused(scored_hits(index, terms), len(terms))
-            if n_distinct > 1
-            else score_candidates(index, terms)
-        )
-        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        return (
-            index.doc_lengths.join(F.broadcast(topk), "doc_id")
-            .select("doc_id", "url", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
+        # The lazy plan is cached per (query, k, window impl) — see
+        # SearchIndex.cached_plan; the window impl env var is part of
+        # the key because _window_col reads it at plan-build time.
+        import os
+
+        def build_plan():
+            n_distinct = len({t for _, t, _ in terms})
+            scored = (
+                _score_fused(scored_hits(index, terms), len(terms))
+                if n_distinct > 1
+                else score_candidates(index, terms)
+            )
+            topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            return (
+                index.doc_lengths.join(F.broadcast(topk), "doc_id")
+                .select("doc_id", "url", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+
+        if not plan_cache:
+            return build_plan()
+        impl = os.environ.get("SPARK_GRAFT_WINDOW_IMPL", "hof")
+        return index.cached_plan(("free", query, k, impl), build_plan)
     cleanup: list = []
     try:
         rows = (

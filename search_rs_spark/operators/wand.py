@@ -146,7 +146,11 @@ def span_upper_bounds(index, terms: list[tuple[int, str, int]]) -> DataFrame:
 
 
 def free_query_wand(
-    index, query: str, k: int = 100, force_protocol: bool | None = None
+    index,
+    query: str,
+    k: int = 100,
+    force_protocol: bool | None = None,
+    plan_cache: bool = True,
 ) -> DataFrame:
     """Rank-identical to operators.bm25.free_query, with block pruning.
 
@@ -192,7 +196,7 @@ def free_query_wand(
             index.doc_lengths.select("doc_id", "url", F.lit(0.0).alias("score")).limit(0)
         )
     if force_protocol is False:
-        return free_query(index, query, k)
+        return free_query(index, query, k, plan_cache=plan_cache)
 
     if force_protocol is None:
         # zero-job forms of the pre-gates:
@@ -207,16 +211,16 @@ def free_query_wand(
         import math
 
         if len({t for _, t, _ in terms}) == 1:
-            return free_query(index, query, k)
+            return free_query(index, query, k, plan_cache=plan_cache)
         block_span = int(index.stats.get("block_span") or 1)
         max_spans = math.ceil(index.num_docs / block_span)
         if max_spans <= SPAN_GATE_FACTOR * COVERAGE_FACTOR * k:
-            return free_query(index, query, k)
+            return free_query(index, query, k, plan_cache=plan_cache)
         # absolute-volume gate: dfs arrived with resolve_query_terms,
         # so this costs nothing (see MIN_PRUNABLE_POSTINGS)
         sum_df = sum({t: df for _, t, df in terms}.values())
         if sum_df <= MIN_PRUNABLE_POSTINGS:
-            return free_query(index, query, k)
+            return free_query(index, query, k, plan_cache=plan_cache)
 
     span_ub = span_upper_bounds(index, terms).persist()
 
@@ -258,7 +262,7 @@ def free_query_wand(
                 n_spans <= SPAN_GATE_FACTOR * target
                 or n_full >= BLANKET_FRACTION * n_spans
             ):
-                return free_query(index, query, k)
+                return free_query(index, query, k, plan_cache=plan_cache)
         # prefilter=False: the block restriction already bounds each
         # pass's candidate set (COVERAGE_FACTOR*k spans / ub survivors),
         # so score_candidates' own theta pre-pass would only add a
@@ -281,7 +285,7 @@ def free_query_wand(
         if force_protocol is None:
             survivors = span_ub.filter(F.col("ub") >= F.lit(theta)).count()
             if survivors >= SURVIVOR_BAILOUT_FRACTION * n_spans:
-                return free_query(index, query, k)
+                return free_query(index, query, k, plan_cache=plan_cache)
 
         # ---- pass 2: every other span that could still alter the top-k ----
         # >= (not >): a doc could score exactly theta and win a doc_id

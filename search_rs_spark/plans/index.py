@@ -27,12 +27,38 @@ from ..operators.spellcheck import DriverVocabulary
 DRIVER_VOCAB_MAX_TERMS = 2_000_000
 
 
+# below this on-disk size a stage's scan is coalesced to a handful of
+# read tasks: spark.sql.files.minPartitionNum defaults to the session
+# parallelism, so a 2 MB postings table would otherwise schedule 32
+# near-empty tasks PER QUERY JOB — pure scheduling overhead. At real
+# scale the byte count exceeds the threshold and the scan keeps its
+# natural split-based parallelism; correctness is unaffected either
+# way (coalesce merges scan partitions; pushdown happens below it).
+SMALL_SCAN_BYTES = 64 * 1024 * 1024
+SMALL_SCAN_TARGET_BYTES = 16 * 1024 * 1024
+
+QUERY_PLAN_CACHE_MAX = 32
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 @dataclass
 class SearchIndex:
     spark: SparkSession
     path: str
     stats: dict
     _driver_vocab: "DriverVocabulary | None" = field(default=None, repr=False)
+    _stage_dfs: dict = field(default_factory=dict, repr=False)
+    _query_plans: dict = field(default_factory=dict, repr=False)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SearchIndex":
@@ -40,27 +66,37 @@ class SearchIndex:
             stats = json.load(f)
         return cls(spark=spark, path=path, stats=stats)
 
+    def _stage_df(self, stage: str) -> DataFrame:
+        """One analyzed relation per stage per handle: the stages are
+        immutable checkpoints, so re-running file listing + footer reads
+        on every property access (two driver jobs per query) is waste.
+        Small stages additionally coalesce their scan (SMALL_SCAN_BYTES)."""
+        if stage not in self._stage_dfs:
+            from ..sources.catalog import read_stage
+
+            path = os.path.join(self.path, stage)
+            df = read_stage(self.spark, path)
+            size = _dir_bytes(path)
+            if size < SMALL_SCAN_BYTES:
+                df = df.coalesce(
+                    max(1, -(-size // SMALL_SCAN_TARGET_BYTES))
+                )
+            self._stage_dfs[stage] = df
+        return self._stage_dfs[stage]
+
     @property
     def doc_lengths(self) -> DataFrame:
         """(doc_id, url, doc_len) — a pruned view over the tokens table
         (columnar read skips the tokens arrays; no duplicate storage)."""
-        from ..sources.catalog import read_stage
-
-        return read_stage(self.spark, os.path.join(self.path, "tokens")).select(
-            "doc_id", "url", "doc_len"
-        )
+        return self._stage_df("tokens").select("doc_id", "url", "doc_len")
 
     @property
     def vocabulary(self) -> DataFrame:
-        from ..sources.catalog import read_stage
-
-        return read_stage(self.spark, os.path.join(self.path, "vocabulary"))
+        return self._stage_df("vocabulary")
 
     @property
     def postings(self) -> DataFrame:
-        from ..sources.catalog import read_stage
-
-        return read_stage(self.spark, os.path.join(self.path, "postings"))
+        return self._stage_df("postings")
 
     @property
     def num_docs(self) -> int:
@@ -118,6 +154,26 @@ class SearchIndex:
         except (OSError, json.JSONDecodeError, ValueError):
             pass
         return self.vocabulary.count()
+
+    def cached_plan(self, key: tuple, build) -> DataFrame:
+        """Analyzed-plan cache for lazy query plans (FIFO, bounded).
+
+        The reference server caches full query RESULTS keyed by the raw
+        query string (LRU size 10, server/src/main.rs:21,123-128);
+        caching only the analyzed LAZY plan is strictly weaker: every
+        collect re-executes the query against the (immutable,
+        checkpointed) index — what's reused is the driver-side py4j
+        plan construction + Catalyst analysis, ~0.3-0.5 s per query of
+        pure scheduling overhead at small corpus sizes. Keys must
+        include everything the plan shape depends on (query, k, and
+        impl-selection env vars — callers own that contract)."""
+        df = self._query_plans.get(key)
+        if df is None:
+            df = build()
+            if len(self._query_plans) >= QUERY_PLAN_CACHE_MAX:
+                self._query_plans.pop(next(iter(self._query_plans)))
+            self._query_plans[key] = df
+        return df
 
     def idf(self, df: int) -> float:
         """BM25 idf (mod.rs:158-159), intended-df semantics per SURVEY §1.4."""

@@ -136,3 +136,36 @@ def test_resume_skips_stages(spark, tmp_path):
     m2 = build_index(spark, reference_fixture(spark), out)
     assert any(not m.get("skipped") for m in m1)
     assert all(m.get("skipped") for m in m2 if "stage" in m)
+
+
+def test_plan_cache_contract(fixture_index):
+    """cached_plan semantics: a repeated (query, k) returns the SAME
+    analyzed Dataset (plan + AQE stage reuse), plan_cache=False builds
+    a fresh plan, the window-impl env var participates in the key, and
+    cache hits return identical results to a fresh plan."""
+    import os
+
+    a = free_query(fixture_index, "hello world", k=10)
+    b = free_query(fixture_index, "hello world", k=10)
+    assert a is b
+    fresh = free_query(fixture_index, "hello world", k=10, plan_cache=False)
+    assert fresh is not a
+    # impl env var is part of the key: udf-built plan must not collide
+    old = os.environ.get("SPARK_GRAFT_WINDOW_IMPL")
+    os.environ["SPARK_GRAFT_WINDOW_IMPL"] = "udf"
+    try:
+        c = free_query(fixture_index, "hello world", k=10)
+        assert c is not a
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_WINDOW_IMPL", None)
+        else:
+            os.environ["SPARK_GRAFT_WINDOW_IMPL"] = old
+    rows = lambda df: [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+    assert rows(a) == rows(fresh) == rows(c)
+    # boolean side: same-string hit, identical results either way
+    x = boolean_query(fixture_index, "hello AND NOT world")
+    assert x is boolean_query(fixture_index, "hello AND NOT world")
+    assert rows(x) == rows(
+        boolean_query(fixture_index, "hello AND NOT world", plan_cache=False)
+    )

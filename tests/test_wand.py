@@ -68,9 +68,9 @@ def test_wand_cost_gate_routes_small_span_pools_to_exhaustive(
     calls = []
     real = wand_mod.free_query
 
-    def spy(index, query, k):
+    def spy(index, query, k, **kw):
         calls.append((query, k))
-        return real(index, query, k)
+        return real(index, query, k, **kw)
 
     monkeypatch.setattr(wand_mod, "free_query", spy)
     q, k = "the world of people", 10
