@@ -35,7 +35,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _cosine_topk, _dot, _norm
+from .similarity import _cosine_topk, _dot_sql, _norm, _vec_sql
 
 IVF_N_CENTROIDS = 16
 IVF_N_PROBE = 4
@@ -64,21 +64,28 @@ def seed_centroids(emb: DataFrame, n_centroids: int = IVF_N_CENTROIDS) -> list[t
     return sorted((int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows)
 
 
-def _assign_expr(vcol, ncol, centroids: list[tuple[int, list[float]]]):
+def _assign_expr(vcol: str, ncol: str, centroids: list[tuple[int, list[float]]]):
     """struct(cos, neg_cid) of the best (max cos, min cid) centroid.
 
     One JVM-side expression per centroid; ``array_max`` over the struct
     array picks max cos with ties broken toward the smallest cid (via
     the negated cid field). cos is rounded to 6 before the argmax so
     the DuckDB oracle's tie-breaks agree bit-for-bit.
-    """
+
+    ``vcol``/``ncol`` are COLUMN NAMES: the whole expression is built
+    as one SQL string and parsed once — the Column-node form cost
+    n_centroids x dim py4j round trips (~1k calls ≈ 1 s of plan
+    construction per 16x64 probe, the dominant cost of an on-the-fly
+    IVF query at small scale)."""
     entries = []
     for cid, cv in centroids:
         cn = math.sqrt(sum(x * x for x in cv)) or 1.0
-        clit = F.array(*[F.lit(float(x)) for x in cv])
-        cos_c = F.round(_dot(vcol, clit) / (ncol * F.lit(cn)), 6)
-        entries.append(F.struct(cos_c.alias("cos"), F.lit(-cid).alias("neg_cid")))
-    return F.array_max(F.array(*entries))
+        cos_c = (
+            f"round({_dot_sql(vcol, _vec_sql(cv))} / "
+            f"({ncol} * CAST({float(cn)!r} AS DOUBLE)), 6)"
+        )
+        entries.append(f"struct({cos_c} AS cos, {-int(cid)} AS neg_cid)")
+    return F.expr("array_max(array(" + ",".join(entries) + "))")
 
 
 def ivf_assign(emb: DataFrame, n_centroids: int = IVF_N_CENTROIDS) -> DataFrame:
@@ -101,7 +108,7 @@ def assign_with_centroids(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).withColumn("n", _norm(F.col("v")))
-    best = _assign_expr(F.col("v"), F.col("n"), centroids)
+    best = _assign_expr("v", "n", centroids)
     return d.select(
         "vec_id",
         (-best["neg_cid"]).alias("centroid_id"),
@@ -169,7 +176,7 @@ def ivf_topk(
     d = emb.withColumn(
         "v", F.transform("embedding", lambda x: x.cast("double"))
     ).withColumn("n", _norm(F.col("v")))
-    best = _assign_expr(F.col("v"), F.col("n"), centroids)
+    best = _assign_expr("v", "n", centroids)
     cand = d.withColumn("centroid_id", -best["neg_cid"]).filter(
         F.col("centroid_id").isin(*probe)
     )
@@ -241,7 +248,7 @@ def ivf_topk_with_centroids(
     d = emb.withColumn(
         "v", F.transform("embedding", lambda x: x.cast("double"))
     ).withColumn("n", _norm(F.col("v")))
-    best = _assign_expr(F.col("v"), F.col("n"), centroids)
+    best = _assign_expr("v", "n", centroids)
     cand = d.withColumn("centroid_id", -best["neg_cid"]).filter(
         F.col("centroid_id").isin(*probe)
     )
@@ -326,7 +333,7 @@ def write_ivf_layout(
     d = emb.withColumn(
         "v", F.transform("embedding", lambda x: x.cast("double"))
     ).withColumn("n", _norm(F.col("v")))
-    best = _assign_expr(F.col("v"), F.col("n"), centroids)
+    best = _assign_expr("v", "n", centroids)
     assigned = d.withColumn("centroid_id", -best["neg_cid"]).drop("v", "n")
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(out_dir)
     meta = {"n_centroids": n_centroids, "centroids": centroids}
@@ -517,7 +524,7 @@ def kmeans_refine(
     objectives: list[float] = []
     try:
         for _ in range(n_iter):
-            best = _assign_expr(F.col("v"), F.col("n"), centroids)
+            best = _assign_expr("v", "n", centroids)
             assigned = d.select(
                 (-best["neg_cid"]).alias("centroid_id"),
                 best["cos"].alias("cos"),

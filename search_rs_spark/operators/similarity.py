@@ -40,21 +40,56 @@ def _norm(a):
     )
 
 
+def _vec_sql(vals) -> str:
+    """array<double> literal as ONE SQL string. ``F.lit`` per element
+    costs a py4j round trip each — a 16x64 centroid fold is ~1k calls
+    (~1 s of pure plan construction per query); parsing one string is
+    ~free. repr() emits the shortest round-trip decimal and
+    Double.parseDouble is correctly rounded, so every element is the
+    exact double ``F.lit(float(x))`` would embed (same downstream
+    arithmetic bit-for-bit)."""
+    return "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vals) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`_dot` (operand order and cast
+    placement identical, so results are bit-equal)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    """SQL-string twin of :func:`_norm`."""
+    return (
+        f"sqrt(aggregate(transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+
+
+def _cos_query_expr(vec_col: str, query_vec, qn: float):
+    """round(cos(vec_col, query_vec), 6) as one parsed expression."""
+    return F.expr(
+        f"round({_dot_sql(vec_col, _vec_sql(query_vec))} / "
+        f"({_norm_sql(vec_col)} * CAST({float(qn)!r} AS DOUBLE)), 6)"
+    )
+
+
 def cosine_topk_bruteforce(
     emb: DataFrame, query_vec: list[float], k: int = 10, exclude_vec_id: int | None = None
 ) -> DataFrame:
     """(vec_id, label, cos) — exact top-k by (cos desc, vec_id asc)."""
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     d = emb
     if exclude_vec_id is not None:
         d = d.filter(F.col("vec_id") != exclude_vec_id)
     scored = d.select(
         "vec_id",
         "label",
-        F.round(
-            _dot(F.col("embedding"), qlit) / (_norm(F.col("embedding")) * F.lit(qn)), 6
-        ).alias("cos"),
+        _cos_query_expr("embedding", query_vec, qn).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
@@ -139,9 +174,11 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
 
 
 def lsh_bucket_expr(col, planes: list[list[float]]):
-    """Bitstring bucket id: sign of projection onto each hyperplane."""
+    """Bitstring bucket id: sign of projection onto each hyperplane.
+    Plane vectors fold in as one parsed SQL literal each (_vec_sql) —
+    not dim-many F.lit py4j round trips."""
     bits = [
-        F.when(_dot(col, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit("1")).otherwise(
+        F.when(_dot(col, F.expr(_vec_sql(plane))) >= 0, F.lit("1")).otherwise(
             F.lit("0")
         )
         for plane in planes
@@ -174,15 +211,11 @@ def _cosine_topk(cand: DataFrame, query_vec: list[float], k: int, exclude_vec_id
     if exclude_vec_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_vec_id)
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(
             "vec_id",
             "label",
-            F.round(
-                _dot(F.col("embedding"), qlit) / (_norm(F.col("embedding")) * F.lit(qn)),
-                6,
-            ).alias("cos"),
+            _cos_query_expr("embedding", query_vec, qn).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
