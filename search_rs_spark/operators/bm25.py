@@ -135,11 +135,12 @@ def scored_hits(
     # one spark.sql call instead of createDataFrame: the terms table is
     # a handful of rows and createDataFrame's py4j/serialization round
     # trip costs ~0.15 s per query — measurable against a warm sub-2 s
-    # query. repr() emits the shortest round-trip decimal, and an exact
-    # DECIMAL literal casts to the identical double. Vocabulary terms
-    # are alnum-only (tokenizer contract); quotes escaped defensively.
+    # query. repr() emits the shortest round-trip decimal and the
+    # quoted-string cast (Double.parseDouble, correctly rounded) yields
+    # the identical double F.lit would embed. Vocabulary terms are
+    # alnum-only (tokenizer contract); quotes escaped defensively.
     rows = ", ".join(
-        "({}, '{}', CAST({!r} AS DOUBLE))".format(
+        "({}, '{}', CAST('{!r}' AS DOUBLE))".format(
             int(qid), term.replace("'", "''"), float(index.idf(df))
         )
         for qid, term, df in terms

@@ -82,7 +82,7 @@ def _assign_expr(vcol: str, ncol: str, centroids: list[tuple[int, list[float]]])
         cn = math.sqrt(sum(x * x for x in cv)) or 1.0
         cos_c = (
             f"round({_dot_sql(vcol, _vec_sql(cv))} / "
-            f"({ncol} * CAST({float(cn)!r} AS DOUBLE)), 6)"
+            f"({ncol} * CAST('{float(cn)!r}' AS DOUBLE)), 6)"
         )
         entries.append(f"struct({cos_c} AS cos, {-int(cid)} AS neg_cid)")
     return F.expr("array_max(array(" + ",".join(entries) + "))")

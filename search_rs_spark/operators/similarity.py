@@ -47,8 +47,12 @@ def _vec_sql(vals) -> str:
     ~free. repr() emits the shortest round-trip decimal and
     Double.parseDouble is correctly rounded, so every element is the
     exact double ``F.lit(float(x))`` would embed (same downstream
-    arithmetic bit-for-bit)."""
-    return "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vals) + ")"
+    arithmetic bit-for-bit). The repr goes through a QUOTED-STRING cast
+    (Double.parseDouble), not a bare numeric literal: bare ``-0.0``
+    would parse as DECIMAL first, which has no signed zero."""
+    return (
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vals) + ")"
+    )
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -74,7 +78,7 @@ def _cos_query_expr(vec_col: str, query_vec, qn: float):
     """round(cos(vec_col, query_vec), 6) as one parsed expression."""
     return F.expr(
         f"round({_dot_sql(vec_col, _vec_sql(query_vec))} / "
-        f"({_norm_sql(vec_col)} * CAST({float(qn)!r} AS DOUBLE)), 6)"
+        f"({_norm_sql(vec_col)} * CAST('{float(qn)!r}' AS DOUBLE)), 6)"
     )
 
 

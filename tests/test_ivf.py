@@ -147,3 +147,45 @@ def test_kmeans_refine_bit_equals_local_replica(spark, emb):
     # partitioning independence of the distributed side
     spark_c2, _ = kmeans_refine(emb.repartition(7), n_iter=2)
     assert spark_c2 == spark_c
+
+
+def test_vec_sql_bit_identical_to_lit(spark):
+    """_vec_sql / _dot_sql / _norm_sql claim bit-identity with the
+    F.lit Column forms (repr round-trip + correctly-rounded
+    Double.parseDouble). Pin it on adversarial doubles: subnormals,
+    extremes, negative zero, values whose shortest repr uses scientific
+    notation, and a float32-origin value."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from search_rs_spark.operators.similarity import (
+        _dot,
+        _dot_sql,
+        _norm,
+        _norm_sql,
+        _vec_sql,
+    )
+
+    vals = [
+        0.1, -0.1, 1e-300, -1e-300, 5e-324, 1.7976931348623157e308,
+        -0.0, 0.0, 1e-05, -1.2345678901234567, 2.0**-30,
+        float(np.float32(0.30000001)), 3.141592653589793,
+    ]
+    df = spark.range(1).select(
+        F.expr(_vec_sql(vals)).alias("s"),
+        F.array(*[F.lit(float(x)) for x in vals]).alias("l"),
+    )
+    row = df.select(
+        "s",
+        "l",
+        F.expr(_dot_sql("s", "s")).alias("dot_sql"),
+        _dot(F.col("l"), F.col("l")).alias("dot_lit"),
+        F.expr(_norm_sql("s")).alias("norm_sql"),
+        _norm(F.col("l")).alias("norm_lit"),
+    ).collect()[0]
+    import struct as _s
+
+    bits = lambda x: _s.pack("<d", x)
+    assert [bits(a) for a in row["s"]] == [bits(b) for b in row["l"]]
+    assert bits(row["dot_sql"]) == bits(row["dot_lit"])
+    assert bits(row["norm_sql"]) == bits(row["norm_lit"])
