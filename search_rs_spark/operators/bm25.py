@@ -183,7 +183,9 @@ def scored_hits(
     )
 
 
-def _score_fused(e: DataFrame, num_tokens: int) -> DataFrame:
+def _score_fused(
+    e: DataFrame, num_tokens: int, n_fragments: int | None = None
+) -> DataFrame:
     """Single-pass scoring for corpus-sized conjunctions: ONE explode,
     ONE aggregate that carries the per-(doc, qid) position arrays next
     to the bm sums, window computed straight off the aggregated arrays.
@@ -200,6 +202,26 @@ def _score_fused(e: DataFrame, num_tokens: int) -> DataFrame:
     """
     from .window_score import U32_MAX, WINDOW_SCORE_MULTIPLIER
 
+    # the aggregate buffers its partition's (qid, positions) fragments
+    # in collect_list state — the same per-partition-fragment-count
+    # memory shape as the build's postings stage, so it sizes its
+    # shuffle the same way (plans/build.py POSTINGS_FRAGMENTS_PER_
+    # PARTITION): n_fragments = sum(df) over the query tokens counts
+    # the exploded rows exactly and is known driver-side for free. Only
+    # active when the data-sized count EXCEEDS the session conf (a
+    # head-term query over a 10^9+-doc corpus); at or below the conf
+    # the plan is untouched. The explicit repartition on a subset of
+    # the grouping keys satisfies the aggregate's distribution, so no
+    # second exchange appears (plan-pinned in test_resume_and_plans).
+    if n_fragments is not None:
+        from ..plans.build import postings_shuffle_partitions
+
+        conf_parts = int(
+            e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        parts = postings_shuffle_partitions(n_fragments, conf_parts)
+        if parts > conf_parts:
+            e = e.repartition(parts, "doc_id", "dl")
     agg = e.groupBy("doc_id", "dl").agg(
         F.sum("bm").alias("bm_sum"),
         F.collect_list("qid").alias("qids"),
@@ -320,7 +342,9 @@ def score_candidates(
             or conj_lb >= FUSED_CONJ_FRACTION * n
             or conj_est >= FUSED_CONJ_EST_FRACTION * n
         ):
-            return _score_fused(e, num_tokens)
+            return _score_fused(
+                e, num_tokens, n_fragments=sum(df for _, _, df in terms)
+            )
     flags = e.groupBy("doc_id", "dl").agg(
         F.sum("bm").alias("bm_sum"), F.countDistinct("qid").alias("nq_present")
     )
@@ -445,7 +469,11 @@ def free_query(
         def build_plan():
             n_distinct = len({t for _, t, _ in terms})
             scored = (
-                _score_fused(scored_hits(index, terms), len(terms))
+                _score_fused(
+                    scored_hits(index, terms),
+                    len(terms),
+                    n_fragments=sum(df for _, _, df in terms),
+                )
                 if n_distinct > 1
                 else score_candidates(index, terms)
             )

@@ -169,3 +169,34 @@ def test_plan_cache_contract(fixture_index):
     assert rows(x) == rows(
         boolean_query(fixture_index, "hello AND NOT world", plan_cache=False)
     )
+
+
+def test_fused_aggregate_sizes_its_shuffle_from_fragments(fixture_index, monkeypatch):
+    """The fused plan's positions-carrying aggregate must size its
+    shuffle from sum(df) over the query tokens — same memory shape and
+    mechanism as the build's postings stage. Below the conf the plan is
+    untouched; above it exactly ONE data-sized exchange feeds the
+    aggregate, and results are identical either way."""
+    from search_rs_spark.operators.bm25 import _score_fused, scored_hits
+    from search_rs_spark.plans import build as bmod
+
+    terms = [(0, "hello", 2), (1, "world", 2)]
+    rows = lambda df: sorted(
+        (r["doc_id"], round(r["score"], 9)) for r in df.collect()
+    )
+    plain = _score_fused(scored_hits(fixture_index, terms), 2, n_fragments=4)
+    # 4 fragments < 4M threshold -> no data-sized repartition appears
+    # (on this tiny fixture the coalesced single-partition scan already
+    # satisfies the aggregate's distribution, so NO exchange at all)
+    assert (
+        "Exchange hashpartitioning"
+        not in plain._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # force the data-sized count above the conf
+    monkeypatch.setattr(bmod, "POSTINGS_FRAGMENTS_PER_PARTITION", 1)
+    sized = _score_fused(scored_hits(fixture_index, terms), 2, n_fragments=500)
+    plan = sized._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "500" in plan  # the data-sized partition count reached the exchange
+    assert rows(sized) == rows(plain)

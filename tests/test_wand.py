@@ -171,9 +171,9 @@ def test_fused_auto_gate_is_conjunction_bound_driven(wand_index, monkeypatch):
     called = []
     real = bm25_mod._score_fused
 
-    def spy(e, num_tokens):
+    def spy(e, num_tokens, **kw):
         called.append(num_tokens)
-        return real(e, num_tokens)
+        return real(e, num_tokens, **kw)
 
     monkeypatch.setattr(bm25_mod, "_score_fused", spy)
     n = wand_index.num_docs
