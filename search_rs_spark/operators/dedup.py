@@ -15,6 +15,7 @@ signature per doc (bit-majority over token hashes).
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -90,14 +91,36 @@ def _duck_shingles(k: int = SHINGLE_K) -> str:
     )
 
 
+def _scan_splits(docs: DataFrame) -> int:
+    """Lower bound on the input's natural scan parallelism: one task per
+    input file plus 128 MB-split count for locally sizeable files (what
+    Spark itself would schedule for the scan). 0 when unknowable
+    (non-file inputs, remote URIs) — callers treat that as "no bound".
+    DataFrame-native (``inputFiles``); no plan-to-RDD conversion."""
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        return 0
+    splits = 0
+    for uri in files:
+        p = uri[len("file:"):] if uri.startswith("file:") else None
+        if p and os.path.exists(p):
+            splits += max(1, -(-os.path.getsize(p) // (128 << 20)))
+        else:
+            splits += 1
+    return splits
+
+
 def _parallelize(docs: DataFrame) -> DataFrame:
     """Small single-file inputs arrive as one partition; the md5/shingle
     work is CPU-bound, so spread it across the cluster explicitly.
-    Unconditional: the round-trip exchange is trivial next to the md5
-    work it balances, and inspecting the current partitioning would
-    force a plan-to-RDD conversion (repo stance: no RDD touches)."""
+    Target = max(shuffle conf, the input's own scan width): widening a
+    single-file input is the point, but a large corpus that already
+    scans wider than the conf must NOT be shrunk (that would serialize
+    md5/shingle work and enlarge task memory at scale)."""
     spark = docs.sparkSession
-    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    conf_target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    target = max(conf_target, _scan_splits(docs))
     return docs.repartition(target, F.col("doc_id"))
 
 

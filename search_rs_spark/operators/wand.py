@@ -230,34 +230,47 @@ def free_query_wand(
 
     span_ub = span_upper_bounds(index, terms).persist()
 
-    # ---- pass 1: coverage set, picked distributedly -----------------------
-    # top-N by ub is bounded by COVERAGE_FACTOR*k rows (each span covers
-    # >= 1 doc), so the cumulative-sum window below runs over a tiny,
-    # driver-independent set; blocks stay in DataFrames end to end.
-    target = COVERAGE_FACTOR * k
-    cand = span_ub.orderBy(F.desc("ub"), F.asc("block_id")).limit(target)
-    # Unpartitioned window, intentionally: cand is capped at
-    # COVERAGE_FACTOR*k rows by the limit above, so the single-task
-    # window is bounded and the `WindowExec: No Partition Defined`
-    # warning it emits is expected.
-    w = (
-        Window.orderBy(F.desc("ub"), F.asc("block_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # the coverage set is bounded by COVERAGE_FACTOR*k rows, so its ids
-    # always fit the literal-scan form (these ARE the k winner spans —
-    # collecting them is the protocol's pass-1 driver contact, same
-    # order of bytes as the k winner rows)
-    first_blocks = sorted(
-        int(r["block_id"])
-        for r in cand.withColumn("cum", F.sum("max_docs").over(w))
-        .filter(F.col("cum") - F.col("max_docs") < target)
-        .select("block_id")
-        .collect()
-    )
-
     cleanup: list = []
     try:
+        # ---- pass 1: coverage set, picked distributedly -------------------
+        # top-N by ub is bounded by COVERAGE_FACTOR*k rows (each span
+        # covers >= 1 doc), so the cumulative-sum window below runs over
+        # a tiny, driver-independent set; blocks stay in DataFrames end
+        # to end. Runs inside the try: the collect is a real Spark job,
+        # and a failure here must still unpersist span_ub.
+        target = COVERAGE_FACTOR * k
+        cand = span_ub.orderBy(F.desc("ub"), F.asc("block_id")).limit(target)
+        # Unpartitioned window, intentionally: cand is capped at
+        # COVERAGE_FACTOR*k rows by the limit above, so the single-task
+        # window is bounded and the `WindowExec: No Partition Defined`
+        # warning it emits is expected.
+        w = (
+            Window.orderBy(F.desc("ub"), F.asc("block_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # the coverage set is bounded by COVERAGE_FACTOR*k rows
+        # (collecting the ids is the protocol's pass-1 driver contact,
+        # same order of bytes as the k winner rows) — but for k > 512
+        # that exceeds MAX_LITERAL_BLOCKS, so the SCAN-side form
+        # switches from an inlined IN filter to a broadcast semi-join
+        # on a driver-local DataFrame (same ids, no plan-compile or
+        # parquet inFilterThreshold blowup); the pass-2 exclusion
+        # switches to an anti-join off the same table.
+        first_blocks = sorted(
+            int(r["block_id"])
+            for r in cand.withColumn("cum", F.sum("max_docs").over(w))
+            .filter(F.col("cum") - F.col("max_docs") < target)
+            .select("block_id")
+            .collect()
+        )
+        if len(first_blocks) <= MAX_LITERAL_BLOCKS:
+            first_rep: "list[int] | DataFrame" = first_blocks
+            first_df = None
+        else:
+            first_df = index.spark.createDataFrame(
+                [(b,) for b in first_blocks], "block_id long"
+            )
+            first_rep = first_df
         if force_protocol is None:
             gate = span_ub.agg(
                 F.count(F.lit(1)).alias("n_spans"),
@@ -276,7 +289,7 @@ def free_query_wand(
         # the inner prefilter off, the pass count halves
         first_top = (
             score_candidates(
-                index, terms, blocks=first_blocks, k=k, cleanup=cleanup,
+                index, terms, blocks=first_rep, k=k, cleanup=cleanup,
                 prefilter=False,
             )
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -298,13 +311,14 @@ def free_query_wand(
         # tie-break. Each pass's own doc-level prefilter (k) only drops
         # docs provably below >= k docs of the SAME pass, so the merged
         # top-k stays exact.
-        remaining = (
-            span_ub.filter(
-                (F.col("ub") >= F.lit(theta))
-                & ~F.col("block_id").isin(first_blocks)
+        remaining = span_ub.filter(F.col("ub") >= F.lit(theta))
+        if first_df is None:
+            remaining = remaining.filter(~F.col("block_id").isin(first_blocks))
+        else:
+            remaining = remaining.join(
+                F.broadcast(first_df), "block_id", "left_anti"
             )
-            .select("block_id")
-        )
+        remaining = remaining.select("block_id")
         # survivor ids: up to MAX_LITERAL_BLOCKS collect as literals so
         # the pass-2 scan row-group-prunes the skipped blocks (their
         # positions arrays are never read); beyond that, stay a

@@ -76,7 +76,11 @@ class SearchIndex:
 
             path = os.path.join(self.path, stage)
             df = read_stage(self.spark, path)
-            size = _dir_bytes(path)
+            # only local directories are sizeable via os.walk; for any
+            # other URI scheme (or an unreadable path) keep Spark's
+            # natural split parallelism rather than treating the
+            # unknown size as 0 and serializing every scan to 1 task
+            size = _dir_bytes(path) if os.path.isdir(path) else SMALL_SCAN_BYTES
             if size < SMALL_SCAN_BYTES:
                 df = df.coalesce(
                     max(1, -(-size // SMALL_SCAN_TARGET_BYTES))

@@ -56,6 +56,33 @@ def test_wand_equals_exhaustive(wand_index, q, k):
         assert math.isclose(ws, es, rel_tol=1e-9, abs_tol=1e-12)
 
 
+def test_wand_pass1_over_literal_cap_uses_semijoin_and_stays_exact(
+    wand_index, monkeypatch
+):
+    """When the pass-1 coverage set exceeds MAX_LITERAL_BLOCKS (k > 512
+    at the default constants), the scan restriction must switch from an
+    inlined IN filter to a broadcast semi-join and the pass-2 exclusion
+    to an anti-join — with ranks unchanged. Pinned by shrinking the cap
+    below this corpus's coverage-set size."""
+    from search_rs_spark.operators import wand as wand_mod
+
+    monkeypatch.setattr(wand_mod, "MAX_LITERAL_BLOCKS", 2)
+    q, k = "the world of people", 10
+    exact = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in free_query(wand_index, q, k).collect()
+    ]
+    wand = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand_mod.free_query_wand(
+            wand_index, q, k, force_protocol=True
+        ).collect()
+    ]
+    assert [d for d, _ in wand] == [d for d, _ in exact]
+    for (_, ws), (_, es) in zip(wand, exact):
+        assert math.isclose(ws, es, rel_tol=1e-9, abs_tol=1e-12)
+
+
 def test_wand_cost_gate_routes_small_span_pools_to_exhaustive(
     wand_index, monkeypatch
 ):
