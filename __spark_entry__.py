@@ -139,6 +139,81 @@ def _index(spark: SparkSession, sf_dir: str, stem: bool = True):
     return _INDEX_CACHE[key]
 
 
+def _nostem_index_checked(spark: SparkSession, sf_dir: str, terms: "list[str]"):
+    """The engine_*_nostem oracles are literal-term SQL: they assume the
+    operand terms appear verbatim in the no-stem vocabulary and
+    spellcheck-resolve to themselves. Self-protecting (was only a test
+    guard): on a corpus where that breaks, the hook raises loudly
+    instead of silently diverging from its oracle (the engine would
+    trigram-correct the term while the SQL stayed literal
+    containment)."""
+    idx = _index(spark, sf_dir, stem=False)
+    vocab = idx.driver_vocab()
+    for t in terms:
+        resolved = vocab.spellcheck_term(t)
+        if resolved != t:
+            raise RuntimeError(
+                f"nostem oracle precondition violated: {t!r} resolves to "
+                f"{resolved!r}, not verbatim — the literal-term oracle no "
+                f"longer matches what the engine would run"
+            )
+    return idx
+
+
+def _streamed_index(spark: SparkSession, sf_dir: str):
+    """A stem=False index built through the STREAMING ingest path
+    (streaming/ingest.py -> finalize_deltas -> build_index_from_term_doc)
+    over the same sf corpus — stream-built == batch-built is pinned by
+    tests/test_streaming.py; this handle lets the driver hash-gate the
+    streamed build against the same DuckDB oracle as the batch index.
+    Built once per sf under /tmp with an explicit completion marker (a
+    partial prior run is wiped and rebuilt — the multi-step chain has
+    no single resume fingerprint)."""
+    key = f"{sf_dir}::streamed_nostem"
+    if key not in _INDEX_CACHE:
+        import shutil
+
+        from search_rs_spark.plans.build import build_index_from_term_doc
+        from search_rs_spark.plans.index import SearchIndex
+        from search_rs_spark.session import ensure_workers_can_import
+        from search_rs_spark.sources.webtext import webtext_from_documents
+        from search_rs_spark.streaming.ingest import finalize_deltas, start_ingest
+
+        ensure_workers_can_import(spark)
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "srs_streamidx_" + sf_dir.strip("/").replace("/", "_"),
+        )
+        marker = os.path.join(base, "_COMPLETE")
+        out = os.path.join(base, "index")
+        if not os.path.exists(marker):
+            shutil.rmtree(base, ignore_errors=True)
+            in_dir = os.path.join(base, "in")
+            webtext_from_documents(spark, sf_dir).write.parquet(in_dir)
+            start_ingest(
+                spark,
+                in_dir,
+                os.path.join(base, "delta"),
+                os.path.join(base, "ckpt"),
+                stem=False,
+            ).awaitTermination(600)
+            parts = finalize_deltas(spark, os.path.join(base, "delta"))
+            build_index_from_term_doc(
+                spark,
+                parts["doc_lengths"],
+                parts["term_doc"],
+                out,
+                min_f=0,
+                max_p=1.0,
+                stem=False,
+                fingerprint_hint=f"streamed:{sf_dir}:stem=False",
+            )
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        _INDEX_CACHE[key] = SearchIndex.load(spark, out)
+    return _INDEX_CACHE[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full stemmed BM25 + window-score top-k over sf0.001."""
     from search_rs_spark.operators.bm25 import free_query
@@ -196,10 +271,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle by the 6-dp-rounded score — with no cut line the row SETS
     # are what the driver hashes).
     q["engine_free_query_nostem"] = lambda s, d: free_query(
-        _index(s, d, stem=False), "data", k=NOSTEM_K
+        _nostem_index_checked(s, d, ["data"]), "data", k=NOSTEM_K
     ).select("doc_id", F.round("score", 6).alias("score"))
     q["engine_boolean_query_nostem"] = lambda s, d: boolean_query(
-        _index(s, d, stem=False), "data AND query AND NOT join"
+        _nostem_index_checked(s, d, ["data", "query", "join"]),
+        "data AND query AND NOT join",
     ).select("doc_id", "score")
     # the WAND two-pass block protocol itself (force_protocol=True —
     # the cost gates would route this tiny corpus to the exhaustive
@@ -214,7 +290,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cross product of the two position lists, so this row executes
     # window_score via the engine's real conjunction/positions dataflow
     q["engine_free_query_nostem_2term"] = lambda s, d: free_query(
-        _index(s, d, stem=False), "data query", k=NOSTEM_K
+        _nostem_index_checked(s, d, ["data", "query"]), "data query", k=NOSTEM_K
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+    # the >=3-term window arithmetic (the scalar-unrolled nt<=8 HOF
+    # state machine, window_score.py:126-141) under a DuckDB hash: the
+    # oracle generalizes the 2-term cross product to the triple
+    # cross-product min — this is the one window kernel form the 2-term
+    # row's specialization never executes
+    q["engine_free_query_nostem_3term"] = lambda s, d: free_query(
+        _nostem_index_checked(s, d, ["data", "query", "join"]),
+        "data query join",
+        k=NOSTEM_K,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+    # the STREAMING build path (streaming/ingest.py -> finalize_deltas
+    # -> build_index_from_term_doc) under the driver hash for the first
+    # time: same single-term closed-form oracle as
+    # engine_free_query_nostem — a red cell here means the streamed
+    # index diverged from the batch-equivalent corpus semantics
+    q["engine_streamed_free_query_nostem"] = lambda s, d: free_query(
+        _streamed_index(s, d), "data", k=NOSTEM_K
     ).select("doc_id", F.round("score", 6).alias("score"))
 
     # the FUSED single-pass plan (one explode, one positions-carrying
@@ -366,6 +462,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "engine_free_query_nostem_2term_fused": (
             sp.engine_free_query_nostem_2term_sql("data", "query", k=NOSTEM_K)
+        ),
+        "engine_free_query_nostem_3term": sp.engine_free_query_nostem_3term_sql(
+            "data", "query", "join", k=NOSTEM_K
+        ),
+        # the streamed build must reproduce the batch index exactly, so
+        # it shares the batch row's closed-form single-term oracle
+        "engine_streamed_free_query_nostem": sp.engine_free_query_nostem_sql(
+            "data", k=NOSTEM_K
         ),
         "core_doc_lengths": sp.DOC_LENGTHS_SQL,
         "core_term_df": sp.TERM_DF_SQL,

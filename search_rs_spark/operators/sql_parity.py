@@ -288,6 +288,73 @@ FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def engine_free_query_nostem_3term_sql(t1: str, t2: str, t3: str, k: int) -> str:
+    """DuckDB oracle for a THREE-term no-stem engine query — the row
+    that puts the >=3-term minimal-covering-window arithmetic under a
+    DuckDB hash (the 2-term row only exercises the nt=2 HOF
+    specialization, window_score.py:111-124; this one drives the
+    scalar-unrolled nt<=8 state machine on its real dataflow). For
+    three distinct query token ids the minimal covering window is
+    ``min over (a in p1, b in p2, c in p3) of max(a,b,c)-min(a,b,c)+1``
+    (any covering window contains one position from each list and is at
+    least that long; each triple's [min,max] span is itself covering) —
+    a triple list cross product, fine at driver-sf tf sizes. Docs
+    holding a strict subset of the terms keep window = U32_MAX
+    (mod.rs:256,271: ``seen.len() == num_tokens`` never fires), i.e.
+    bonus 9.0/4294967295; BM25 sums the present terms' contributions
+    then renormalizes by doc_len (mod.rs:158-186). Corpus precondition
+    (self-guarded in the __spark_entry__ hook): all three terms must
+    appear verbatim in the no-stem vocabulary and spellcheck-resolve to
+    themselves."""
+    idf = {
+        i: f"ln((stats.n - dfc.df{i} + 0.5) / (dfc.df{i} + 0.5) + 1.0::DOUBLE)"
+        for i in (1, 2, 3)
+    }
+
+    def bm(i: int) -> str:
+        plist = f"m.p{i}"
+        return (
+            f"CASE WHEN len({plist}) > 0 THEN {idf[i]} "
+            f"* (len({plist})::DOUBLE * {BM25_K1 + 1.0}) "
+            f"/ (len({plist})::DOUBLE + {BM25_K1} * (1.0::DOUBLE - {BM25_B} "
+            f"+ {BM25_B} * m.dl::DOUBLE / stats.avgdl)) ELSE 0.0::DOUBLE END"
+        )
+
+    cross = (
+        "flatten(flatten(list_transform(m.p1, a -> list_transform(m.p2, "
+        "b -> list_transform(m.p3, c -> greatest(a, b, c) - least(a, b, c) + 1)))))"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {ENGINE_DUCK_TOKENS} AS toks, len({ENGINE_DUCK_TOKENS}) AS dl
+  FROM documents WHERE text IS NOT NULL
+), stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM t),
+m AS (
+  SELECT doc_id, dl,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = '{t1}') AS p1,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = '{t2}') AS p2,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = '{t3}') AS p3
+  FROM t
+  WHERE list_contains(toks, '{t1}') OR list_contains(toks, '{t2}')
+     OR list_contains(toks, '{t3}')
+), dfc AS (
+  SELECT sum(CASE WHEN len(p1) > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+         sum(CASE WHEN len(p2) > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2,
+         sum(CASE WHEN len(p3) > 0 THEN 1 ELSE 0 END)::DOUBLE AS df3
+  FROM m
+), sc AS (
+  SELECT m.doc_id,
+         ({bm(1)} + {bm(2)} + {bm(3)}) / m.dl::DOUBLE
+         + CASE WHEN len(m.p1) > 0 AND len(m.p2) > 0 AND len(m.p3) > 0 THEN
+             9.0::DOUBLE / list_min({cross})::DOUBLE
+           ELSE 9.0::DOUBLE / 4294967295.0::DOUBLE END AS score
+  FROM m, dfc, stats
+)
+SELECT doc_id, round(score, 6)::DOUBLE AS score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 # Corpus precondition (guarded in tests/test_driver_contract.py): the
 # three operands must appear verbatim in the sf0.01 no-stem vocabulary
 # and spellcheck-resolve to themselves — if one ever dropped out, the
