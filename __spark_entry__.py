@@ -317,7 +317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # aggregate, no theta job — what auto mode takes for corpus-sized
     # conjunctions; forced here because the driver sf corpora are tiny)
     # under the SAME 2-term DuckDB window oracle: hash-gates the fused
-    # aggregate's aligned collect_lists + window expression dataflow
+    # aggregate's aligned collect_lists + window expression dataflow.
+    # Since round 5 the fused gate also routes corpus-sized conjunctions
+    # to the BATCH numpy window kernel — head terms over the sf corpus
+    # trip that signal, so this row hash-gates the udfbatch kernel too
+    # (hof is gated by the plain 2term/3term rows)
     def _fused_2term(s, d):
         from search_rs_spark.operators.bm25 import (
             resolve_query_terms,

@@ -184,7 +184,10 @@ def scored_hits(
 
 
 def _score_fused(
-    e: DataFrame, num_tokens: int, n_fragments: int | None = None
+    e: DataFrame,
+    num_tokens: int,
+    n_fragments: int | None = None,
+    prefer_impl: str | None = None,
 ) -> DataFrame:
     """Single-pass scoring for corpus-sized conjunctions: ONE explode,
     ONE aggregate that carries the per-(doc, qid) position arrays next
@@ -231,11 +234,16 @@ def _score_fused(
     bm_norm = BM25_SCORE_MULTIPLIER * F.col("bm_sum") / F.col("dl")
     # one row per (term, doc) upstream, so qids holds distinct ids
     is_conj = F.size("qids") == num_tokens
-    score = F.when(is_conj, _window_col(num_tokens)).otherwise(F.lit(eps)) + bm_norm
+    score = (
+        F.when(is_conj, _window_col(num_tokens, prefer=prefer_impl)).otherwise(
+            F.lit(eps)
+        )
+        + bm_norm
+    )
     return agg.select("doc_id", score.alias("score"))
 
 
-def _window_col(num_tokens: int):
+def _window_col(num_tokens: int, prefer: str | None = None):
     """Window-score Column over the aggregated (qids, ps) shape.
 
     SPARK_GRAFT_WINDOW_IMPL selects the implementation — all three are
@@ -247,12 +255,18 @@ def _window_col(num_tokens: int):
       whole batch (one lexsort + one segmented accumulate per batch) —
       the fastest on corpus-sized conjunction sets.
     - ``udf``: the per-doc numpy loop (legacy fallback / cross-check).
+
+    ``prefer`` is the caller's data-driven choice (e.g. the fused gate
+    prefers ``udfbatch`` for corpus-sized conjunctions, where it
+    measured 6-11% faster than hof — BASELINE.md round-4 addendum); an
+    explicitly set env var still wins, so operators can pin one kernel
+    fleet-wide.
     """
     import os
 
     from pyspark.sql import functions as F
 
-    impl = os.environ.get("SPARK_GRAFT_WINDOW_IMPL", "hof")
+    impl = os.environ.get("SPARK_GRAFT_WINDOW_IMPL") or prefer or "hof"
     if impl == "udf":
         from .window_score import window_score_nested_udf
 
@@ -337,13 +351,22 @@ def score_candidates(
         conj_est = float(n)
         for df in dfs.values():
             conj_est *= df / n
-        if (
-            fused
-            or conj_lb >= FUSED_CONJ_FRACTION * n
+        corpus_sized = (
+            conj_lb >= FUSED_CONJ_FRACTION * n
             or conj_est >= FUSED_CONJ_EST_FRACTION * n
-        ):
+        )
+        if fused or corpus_sized:
+            # the same signal that picks the fused plan also picks its
+            # window kernel: for corpus-sized conjunctions the batch
+            # numpy kernel measured 6-11% faster than the HOF (one
+            # lexsort + one segmented accumulate amortized over the
+            # whole Arrow batch); everywhere else HOF stays the default
+            # so the query path runs without Python workers
             return _score_fused(
-                e, num_tokens, n_fragments=sum(df for _, _, df in terms)
+                e,
+                num_tokens,
+                n_fragments=sum(df for _, _, df in terms),
+                prefer_impl="udfbatch" if corpus_sized else None,
             )
     flags = e.groupBy("doc_id", "dl").agg(
         F.sum("bm").alias("bm_sum"), F.countDistinct("qid").alias("nq_present")

@@ -236,29 +236,42 @@ def window_score_batch_udf(num_tokens: int):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    from itertools import chain
+
     def fn(qids, positions):
         n = len(qids)
         if n == 0:
             return pd.Series([], dtype="float64")
-        chunks, lens, doc_sizes = [], [], np.zeros(n, dtype=np.int64)
-        flat_qids = []
-        for i, (q_arr, p_arrs) in enumerate(zip(qids, positions)):
-            total = 0
-            for q, p in zip(q_arr, p_arrs):
-                chunks.append(np.asarray(p, dtype=np.int64))
-                lens.append(len(p))
-                flat_qids.append(q)
-                total += len(p)
-            doc_sizes[i] = total
+        # flat marshalling, no per-doc x per-term Python bookkeeping:
+        # Arrow hands the nested lists over as ndarrays-of-ndarrays, so
+        # one chain + three numpy reductions rebuild the doc-major flat
+        # (pos, qid, doc_sizes) shape min_windows_batch consumes
+        nterm = np.fromiter((len(q) for q in qids), dtype=np.int64, count=n)
+        plists = list(chain.from_iterable(positions))
+        lens = np.fromiter(
+            (len(p) for p in plists), dtype=np.int64, count=len(plists)
+        )
         pos = (
-            np.concatenate(chunks)
-            if chunks
+            np.concatenate([np.asarray(p, dtype=np.int64) for p in plists])
+            if plists
             else np.empty(0, dtype=np.int64)
         )
-        qid = np.repeat(
-            np.asarray(flat_qids, dtype=np.int64),
-            np.asarray(lens, dtype=np.int64),
+        flat_q = (
+            np.concatenate([np.asarray(q, dtype=np.int64) for q in qids])
+            if nterm.sum()
+            else np.empty(0, dtype=np.int64)
         )
+        qid = np.repeat(flat_q, lens)
+        # per-doc pair counts: sum of lens over each doc's term rows —
+        # reduceat over nonempty docs only (same legality trick as
+        # min_windows_batch: consecutive nonempty starts bracket exactly
+        # the empty docs' zero elements)
+        term_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(nterm[:-1], out=term_starts[1:])
+        doc_sizes = np.zeros(n, dtype=np.int64)
+        ne = nterm > 0
+        if lens.size and ne.any():
+            doc_sizes[ne] = np.add.reduceat(lens, term_starts[ne])
         # doc-aligned chunking keeps the nt x L matrix bounded
         max_rows = max(1, _BATCH_MATRIX_CELLS // max(num_tokens, 1))
         outs = []
