@@ -373,6 +373,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_lsh_topk_layout"] = lambda s, d: similarity.lsh_bucketed_topk_layout(
         s, _ann_layout(s, d), _query_vec(d), k=10, exclude_vec_id=0
     )
+    # margin-RANKED multiprobe (Lv et al. 2007): 6 planes / 8 probed
+    # buckets of 64 — the recall/latency knob at scale; the probe set is
+    # deterministic, so the oracle folds the same buckets as literals
+    q["sim_lsh_topk_multiprobe"] = lambda s, d: similarity.lsh_bucketed_topk(
+        _emb(s, d), _query_vec(d), k=10, n_planes=6, exclude_vec_id=0, n_probes=8
+    )
 
     # multi-table LSH embedding near-dup pairs (threshold lowered to 0.3
     # so the driver corpus — max pairwise cos ~0.44 — yields rows and the
@@ -504,6 +510,9 @@ def oracle_sql() -> dict[str, str]:
         # (same planes, same probe set), so it shares the oracle
         "sim_lsh_topk": similarity.lsh_topk_sql(qv, k=10, exclude_vec_id=0),
         "sim_lsh_topk_layout": similarity.lsh_topk_sql(qv, k=10, exclude_vec_id=0),
+        "sim_lsh_topk_multiprobe": similarity.lsh_topk_sql(
+            qv, k=10, n_planes=6, exclude_vec_id=0, n_probes=8
+        ),
         "sim_lsh_pairs": similarity.cosine_lsh_pairs_sql(
             threshold=0.3, dim=len(qv)
         ),

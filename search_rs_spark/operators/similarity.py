@@ -211,6 +211,56 @@ def probe_buckets(
     return sorted(probe)
 
 
+def probe_buckets_ranked(
+    query_vec: list[float], planes: list[list[float]], n_probes: int
+) -> list[str]:
+    """Margin-ranked multiprobe set (Lv et al., "Multi-Probe LSH",
+    VLDB 2007): the ``n_probes`` buckets MOST LIKELY to hold the
+    query's neighbors, enumerated in nondecreasing perturbation cost.
+
+    Flipping plane ``i`` costs ``margin_i^2`` (the squared projection —
+    a near-zero margin means the query sits on that hyperplane, so its
+    neighbors fall on either side with ~equal probability); a candidate
+    bucket's cost is the sum over its flipped planes. The classic
+    heap enumeration yields perturbation sets in cost order without
+    materializing the 2^n_planes lattice, so recall per probed bucket
+    beats the blanket Hamming ball of :func:`probe_buckets` (which
+    spends probes on high-margin flips as readily as low-margin ones).
+    Deterministic: ties break on the cost-rank index tuple."""
+    import heapq
+
+    margins = [
+        sum(p * float(v) for p, v in zip(plane, query_vec)) for plane in planes
+    ]
+    qb = "".join("1" if m >= 0 else "0" for m in margins)
+    out = [qb]
+    if n_probes <= 1 or not planes:
+        return out
+    costs = sorted((m * m, i) for i, m in enumerate(margins))
+
+    def bucket_for(idxs: tuple) -> str:
+        b = list(qb)
+        for r in idxs:
+            i = costs[r][1]
+            b[i] = "0" if b[i] == "1" else "1"
+        return "".join(b)
+
+    heap: list[tuple[float, tuple]] = [(costs[0][0], (0,))]
+    while heap and len(out) < n_probes:
+        c, idxs = heapq.heappop(heap)
+        out.append(bucket_for(idxs))
+        last = idxs[-1]
+        if last + 1 < len(costs):
+            # standard lattice expansion: "shift" the last flip to the
+            # next-costlier plane, or "expand" by adding it — together
+            # these reach every perturbation set exactly once
+            heapq.heappush(
+                heap, (c - costs[last][0] + costs[last + 1][0], idxs[:-1] + (last + 1,))
+            )
+            heapq.heappush(heap, (c + costs[last + 1][0], idxs + (last + 1,)))
+    return out
+
+
 def _cosine_topk(cand: DataFrame, query_vec: list[float], k: int, exclude_vec_id):
     if exclude_vec_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_vec_id)
@@ -233,15 +283,25 @@ def lsh_bucketed_topk(
     n_planes: int = 4,
     probe_bits: int = 2,
     exclude_vec_id: int | None = None,
+    n_probes: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: multiprobe the query's LSH bucket and every
-    bucket within ``probe_bits`` Hamming distance, computing buckets on
-    the fly (one full pass). The SCALE path is the materialized layout
+    """Approximate top-k: multiprobe the query's LSH bucket and its
+    neighbor buckets, computing buckets on the fly (one full pass). The
+    SCALE path is the materialized layout
     (:func:`write_bucketed_embeddings` + :func:`lsh_bucketed_topk_layout`),
-    where a probe reads only the probed buckets' partitions."""
+    where a probe reads only the probed buckets' partitions.
+
+    ``n_probes`` set selects margin-RANKED multiprobe
+    (:func:`probe_buckets_ranked`): exactly that many buckets, chosen
+    by perturbation cost — the recall/latency knob. Unset keeps the
+    blanket ``probe_bits`` Hamming ball."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes)
-    probe = probe_buckets(query_vec, planes, probe_bits)
+    probe = (
+        probe_buckets_ranked(query_vec, planes, n_probes)
+        if n_probes is not None
+        else probe_buckets(query_vec, planes, probe_bits)
+    )
     bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
     cand = bucketed.filter(F.col("bucket").isin(*probe))
     return _cosine_topk(cand, query_vec, k, exclude_vec_id)
@@ -348,15 +408,21 @@ def lsh_topk_sql(
     probe_bits: int = 2,
     exclude_vec_id: int = 0,
     seed: int = 13,
+    n_probes: int | None = None,
 ) -> str:
     """Self-contained DuckDB oracle for :func:`lsh_bucketed_topk` AND
     :func:`lsh_bucketed_topk_layout` (the layout variant returns
     identical rows by construction — same deterministic hyperplanes,
     same probe set; only the storage access path differs). Hyperplanes
     and the multiprobe bucket set are deterministic md5-derived values
-    computed here and folded into the SQL as literals."""
+    computed here and folded into the SQL as literals. ``n_probes``
+    mirrors the engine's margin-ranked multiprobe knob."""
     planes = _hyperplanes(len(query_vec), n_planes, seed)
-    probe = probe_buckets(query_vec, planes, probe_bits)
+    probe = (
+        probe_buckets_ranked(query_vec, planes, n_probes)
+        if n_probes is not None
+        else probe_buckets(query_vec, planes, probe_bits)
+    )
     probe_list = ", ".join(f"'{b}'" for b in probe)
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
     qlist = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]"
@@ -462,16 +528,24 @@ def lsh_bucketed_topk_layout(
     k: int = 10,
     probe_bits: int = 2,
     exclude_vec_id: int | None = None,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """Approximate top-k over a :func:`write_bucketed_embeddings`
     layout. The bucket filter is a PARTITION filter — only the probed
-    bucket directories are scanned (plan-pinned in tests)."""
+    bucket directories are scanned (plan-pinned in tests). ``n_probes``
+    selects margin-ranked multiprobe exactly as in
+    :func:`lsh_bucketed_topk` — still a partition filter, just a
+    better-chosen directory set."""
     import json
     import os
 
     with open(os.path.join(out_dir, ANN_META)) as f:
         meta = json.load(f)
     planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
-    probe = probe_buckets(query_vec, planes, probe_bits)
+    probe = (
+        probe_buckets_ranked(query_vec, planes, n_probes)
+        if n_probes is not None
+        else probe_buckets(query_vec, planes, probe_bits)
+    )
     cand = spark.read.parquet(out_dir).filter(F.col("bucket").isin(*probe))
     return _cosine_topk(cand, query_vec, k, exclude_vec_id)

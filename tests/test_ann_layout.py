@@ -93,3 +93,110 @@ def test_probe_scan_is_partition_pruned(spark, layout):
     m = re.search(r"PartitionFilters: \[bucket#\d+ IN \(([^)]*)\)", plan)
     assert m, plan[:3000]
     assert len(m.group(1).split(",")) == n_planes + 1
+
+def test_probe_buckets_ranked_enumeration_order_and_uniqueness():
+    """The heap enumeration must equal brute force: all 2^n perturbation
+    sets sorted by (sum of flipped squared margins, cost-rank tuple),
+    truncated to n_probes — unique buckets, query bucket first."""
+    import itertools
+
+    from search_rs_spark.operators.similarity import (
+        _hyperplanes,
+        probe_buckets_ranked,
+    )
+
+    planes = _hyperplanes(8, 5, seed=21)
+    qv = [0.3, -0.7, 0.05, 0.9, -0.2, 0.4, -0.55, 0.11]
+    margins = [sum(p * v for p, v in zip(pl, qv)) for pl in planes]
+    qb = "".join("1" if m >= 0 else "0" for m in margins)
+    costs = sorted((m * m, i) for i, m in enumerate(margins))
+
+    def bucket_for(ranks):
+        b = list(qb)
+        for r in ranks:
+            i = costs[r][1]
+            b[i] = "0" if b[i] == "1" else "1"
+        return "".join(b)
+
+    subsets = []
+    for r in range(1, len(planes) + 1):
+        for ranks in itertools.combinations(range(len(planes)), r):
+            subsets.append((sum(costs[j][0] for j in ranks), ranks))
+    subsets.sort()
+    brute = [qb] + [bucket_for(ranks) for _, ranks in subsets]
+
+    for n_probes in (1, 2, 7, 13, 32):
+        got = probe_buckets_ranked(qv, planes, n_probes)
+        assert got == brute[:n_probes], (n_probes, got, brute[:n_probes])
+        assert len(set(got)) == len(got)
+    assert probe_buckets_ranked(qv, planes, 99)[0] == qb
+
+
+def test_ranked_multiprobe_recall_at_equal_budget():
+    """Averaged over 50 queries, margin-ranked multiprobe at the SAME
+    probed-bucket budget (7 of 64) must recall at least as much of the
+    brute-force top-10 as the blanket 1-bit Hamming ball (a single
+    query is noise at 500 vectors — the ranking wins in expectation,
+    Lv et al. 2007), and 16 ranked probes must clear a recall floor.
+    Pure driver-side: the probe-set CHOICE is what is being tested
+    (probe_buckets* are pure functions); the Spark filter plumbing and
+    row values are hash-gated by the sim_lsh_topk_multiprobe driver
+    row. Measured at commit time: ham7 0.242, rank7 0.270, rank16
+    0.462 — deterministic given the fixed corpus/planes/query seed."""
+    import duckdb
+    import numpy as np
+
+    from search_rs_spark.operators.similarity import (
+        _hyperplanes,
+        probe_buckets,
+        probe_buckets_ranked,
+    )
+
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    V = np.array([np.asarray(x, dtype=np.float64) for x in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    n, dim = V.shape
+    norms = np.linalg.norm(V, axis=1)
+    planes = _hyperplanes(dim, 6)
+    P = np.array(planes)
+    buckets = np.array(
+        ["".join("1" if b else "0" for b in row) for row in (V @ P.T >= 0)]
+    )
+
+    def recall(qi, probe):
+        cos_all = (V @ V[qi]) / (norms * norms[qi])
+        cos_all[qi] = -2.0
+        exact = set(ids[np.argsort(-cos_all)[:10]])
+        mask = np.isin(buckets, probe)
+        mask[qi] = False
+        if not mask.any():
+            return 0.0
+        got = set(ids[mask][np.argsort(-cos_all[mask])[:10]])
+        return len(got & exact) / 10.0
+
+    rng = np.random.default_rng(3)
+    qs = rng.choice(n, 50, replace=False)
+    ham7, rank7, rank16 = [], [], []
+    for qi in qs:
+        qv = [float(x) for x in V[qi]]
+        ham7.append(recall(qi, probe_buckets(qv, planes, 1)))
+        rank7.append(recall(qi, probe_buckets_ranked(qv, planes, 7)))
+        rank16.append(recall(qi, probe_buckets_ranked(qv, planes, 16)))
+    assert np.mean(rank7) >= np.mean(ham7), (np.mean(rank7), np.mean(ham7))
+    assert np.mean(rank16) >= 0.4, np.mean(rank16)
+
+
+def test_layout_ranked_probe_is_partition_pruned(spark, layout):
+    """n_probes stays a PARTITION filter listing exactly n_probes
+    buckets — a better-chosen directory set, same pruned access."""
+    import re
+
+    out, _ = layout
+    qv = entrymod._query_vec(SF_DIR)
+    df = lsh_bucketed_topk_layout(spark, out, qv, k=10, n_probes=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[bucket#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan[:3000]
+    assert len(m.group(1).split(",")) == 3
