@@ -86,3 +86,29 @@ def test_served_results_match_engine(served, spark):
     assert [(d["id"], round(d["score"], 9)) for d in resp["documents"]] == [
         (d, round(s, 9)) for d, u, s in direct
     ]
+
+def test_cache_hit_skips_engine_execution(served):
+    """The reference server answers repeated queries from the RESULT
+    cache without touching the engine (main.rs:123-128): a cached query
+    must not re-invoke free_query/boolean_query, and the served body
+    must be byte-identical to the miss's."""
+    base, server = served
+    engine = server.srs_engine
+    calls = []
+    real_free, real_bool = engine.free_query, engine.boolean_query
+    engine.free_query = lambda *a, **k: (calls.append("free"), real_free(*a, **k))[1]
+    engine.boolean_query = (
+        lambda *a, **k: (calls.append("bool"), real_bool(*a, **k))[1]
+    )
+    try:
+        first = _post(base, "cachehit probe world")
+        n_after_miss = len(calls)
+        assert n_after_miss >= 1
+        second = _post(base, "cachehit probe world")
+        assert len(calls) == n_after_miss, "cache hit re-ran the engine"
+        a, b = json.loads(first), json.loads(second)
+        a.pop("cache_hits"), a.pop("cache_misses")
+        b.pop("cache_hits"), b.pop("cache_misses")
+        assert a == b
+    finally:
+        engine.free_query, engine.boolean_query = real_free, real_bool
