@@ -185,7 +185,11 @@ def free_query_wand(
       block-max slack keeps ~99% of spans above any reachable theta
       (measured 243/245 at 1M docs; 10M-doc protocol run 10.6 s vs
       6.5 s exhaustive) — bail before pass 1. Shares one slim
-      metadata aggregate with the span-pool gate.
+      metadata aggregate with the span-pool gate. All-head-term
+      queries short-circuit this check zero-job via a driver-side
+      blanket estimate from the dfs (see inline comment) — the
+      metadata aggregate itself scans the query terms' postings,
+      which is exactly the work pruning was supposed to avoid.
     - post-theta gate: if >= SURVIVOR_BAILOUT_FRACTION of spans have
       ub >= theta after pass 1 (e.g. the all-terms window bonus
       blankets the ub spread), restricting pass 2 to survivors still
@@ -226,6 +230,30 @@ def free_query_wand(
         # so this costs nothing (see MIN_PRUNABLE_POSTINGS)
         sum_df = sum({t: df for _, t, df in terms}.values())
         if sum_df <= MIN_PRUNABLE_POSTINGS:
+            return free_query(index, query, k, plan_cache=plan_cache)
+        # blanket estimate (zero-job): the in-plan blanket gate below
+        # needs span_upper_bounds — a full postings scan of the query
+        # terms that pruning then throws away when it fires (measured
+        # 30M docs, 5 head terms: +40 s of discarded metadata pass,
+        # wand-auto 140.5 s vs 100.5 s straight free_query). Estimate
+        # the blanket fraction driver-side from the dfs instead: under
+        # a uniform doc-placement model a span of `block_span` docs
+        # misses term t with probability (1 - df_t/N)^block_span, so
+        # the expected fraction of spans missing ANY term is at most
+        # the sum over distinct terms (union bound). Head terms
+        # (df/N >= 0.2) drive this to ~0 and bail here with ZERO jobs;
+        # the paying planted-rare regime (df/N ~= 5e-5, block_span
+        # 4096 -> miss ~= 0.81 per BASELINE.md) sails past and keeps
+        # the protocol. The model is optimistic for spatially
+        # clustered mid-df terms, where it may keep the protocol
+        # running into the in-plan gate — that path is the status quo
+        # and stays rank-identical either way.
+        n = float(index.num_docs) or 1.0
+        miss_est = sum(
+            (1.0 - df / n) ** block_span
+            for df in {t: df for _, t, df in terms}.values()
+        )
+        if miss_est <= 1.0 - BLANKET_FRACTION:
             return free_query(index, query, k, plan_cache=plan_cache)
 
     span_ub = span_upper_bounds(index, terms).persist()

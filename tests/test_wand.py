@@ -450,3 +450,70 @@ def test_wand_protocol_fires_and_prunes_on_spread_corpus(
     survivors = ub.filter(F.col("ub") >= theta).count()
     assert n_spans >= 400, n_spans
     assert survivors <= 0.1 * n_spans, (survivors, n_spans)
+
+
+@pytest.fixture(scope="module")
+def blanket_index(spark, tmp_path_factory):
+    """Every doc holds both head terms ('alpha', 'beta'); 'bravo' is
+    planted in 5 docs. The span pool (100 spans at block_span=4)
+    passes the span-pool gate at k=10, so with the volume gate zeroed
+    the zero-job blanket ESTIMATE is the deciding pre-gate."""
+    filler = [
+        "red green blue", "iron wood glass",
+        "north south east", "first second third",
+    ]
+    rows = []
+    for i in range(400):
+        text = f"alpha beta {filler[i % 4]} marker{i % 40}"
+        if i % 80 == 0:
+            text = text + " bravo"
+        u = f"https://example.org/blanket/{i:08d}.html"
+        rows.append((u, _EPOCH, wrap_html(text), text, "en"))
+    wt = spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA)
+    out = str(tmp_path_factory.mktemp("idx_blanket"))
+    build_index(spark, wt, out, min_f=0, max_p=1.0, block_span=4)
+    return SearchIndex.load(spark, out)
+
+
+def test_wand_blanket_estimate_bails_zero_job_on_all_head_queries(
+    blanket_index, monkeypatch
+):
+    """An all-head-term query must route to the exhaustive scorer from
+    the driver-side blanket estimate alone — span_upper_bounds (a
+    postings scan of the query terms) must never be built: that
+    discarded metadata pass measured +40% on wand-auto head queries at
+    30M docs (BASELINE.md round 5). A planted-rare-term query on the
+    SAME index must still reach the metadata pass (the estimate keeps
+    the paying regime), with auto == exhaustive results."""
+    from search_rs_spark.operators import wand as wand_mod
+
+    monkeypatch.setattr(wand_mod, "MIN_PRUNABLE_POSTINGS", 0)
+
+    def boom(index, terms):
+        raise AssertionError("span_upper_bounds built for a blanketing query")
+
+    monkeypatch.setattr(wand_mod, "span_upper_bounds", boom)
+    rows = free_query_wand(blanket_index, "alpha beta", 10).collect()
+    assert len(rows) == 10
+    monkeypatch.undo()
+
+    monkeypatch.setattr(wand_mod, "MIN_PRUNABLE_POSTINGS", 0)
+    seen = []
+    real = wand_mod.span_upper_bounds
+    monkeypatch.setattr(
+        wand_mod,
+        "span_upper_bounds",
+        lambda idx, ts: seen.append(1) or real(idx, ts),
+    )
+    auto = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in free_query_wand(blanket_index, "alpha bravo", 10).collect()
+    ]
+    assert seen, "rare-term query bailed before the metadata pass"
+    exact = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in free_query_wand(
+            blanket_index, "alpha bravo", 10, force_protocol=False
+        ).collect()
+    ]
+    assert auto == exact
