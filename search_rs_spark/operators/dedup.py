@@ -1,9 +1,19 @@
 """Deduplication operators for training-data pipelines.
 
-All hash material derives from ``md5`` over strings so the Spark
-implementation and the DuckDB oracle compute identical values (native
-hash functions differ between engines). Lexicographic MIN over md5 hex
-digests is a valid uniform min-hash.
+All hash material derives from portable string hashes (``md5`` /
+``sha256`` hex) so the Spark implementation and the DuckDB oracle
+compute identical values (native hash functions differ between
+engines). MinHash uses ONE ``sha256`` per shingle sliced into
+``MINHASH_H`` disjoint hex lanes — lexicographic MIN over a
+fixed-width hex lane is a valid uniform min-hash, and the lanes of one
+digest are modeled-independent, so this costs 1 strong hash per
+shingle instead of the naive H (the round-5 kernel paid 8 independent
+md5 evaluations per shingle). The larger round-6 find, though, was the
+shingle construction itself: the positional higher-order-function form
+re-evaluated the inlined tokenizer regex per shingle position —
+O(len^2) regex work per doc, ~12x the cost of everything else combined
+at 50k docs — replaced by a zip_with-over-shifted-arrays form whose
+operands evaluate once per row (see :func:`_spark_shingles`).
 
 Scale notes: exact dedup is a single hash-keyed aggregation;
 MinHash-LSH is shingle-explode -> per-(doc,hash) min -> band explode ->
@@ -71,18 +81,36 @@ FROM h JOIN g USING (text_hash)
 # ---------------------------------------------------------------------------
 
 
-def _spark_shingles(k: int = SHINGLE_K) -> str:
-    """distinct k-token shingles as strings (SQL expression)."""
-    return (
-        f"array_distinct(CASE WHEN size({SPARK_TOKENS}) >= {k} THEN "
-        f"transform(sequence(1, size({SPARK_TOKENS}) - {k} + 1), "
-        f"i -> concat_ws(' ', slice({SPARK_TOKENS}, i, {k}))) "
-        f"ELSE {SPARK_TOKENS} END)"
-    )
+def _spark_shingles(k: int = SHINGLE_K, tokens: str = "toks") -> str:
+    """distinct k-token shingles as strings (SQL expression).
+
+    Built as ``zip_with`` over k-1 shifted copies of the token array —
+    NOT as ``transform(sequence(...), i -> slice(tokens, i, k))``. The
+    distinction is the whole game at scale: higher-order functions are
+    interpreted, and any expression inside the lambda body is
+    re-evaluated per element, so with the tokenizer's
+    ``regexp_extract_all`` inlined there (which Catalyst's
+    CollapseProject happily does even when the tokens were aliased in
+    their own projection) the positional form costs O(len^2) regex work
+    per document — measured 36 s for a 50k-doc corpus where this form
+    costs ~1 s. ``zip_with``'s array operands are evaluated once per
+    row; its lambda touches only the lambda variables.
+
+    zip_with pads the shorter operand with null and ``concat`` of a
+    null is null, so after k-1 zips the trailing k-1 entries are null;
+    the final slice keeps exactly the size-k windows."""
+    t = tokens
+    cur = t
+    for j in range(2, k + 1):
+        cur = f"zip_with({cur}, slice({t}, {j}, size({t})), (a, b) -> concat(a, ' ', b))"
+    windows = f"slice({cur}, 1, size({t}) - {k} + 1)"
+    return f"array_distinct(CASE WHEN size({t}) >= {k} THEN {windows} ELSE {t} END)"
 
 
-def _duck_shingles(k: int = SHINGLE_K) -> str:
-    t = DUCK_TOKENS
+def _duck_shingles(k: int = SHINGLE_K, tokens: str = "toks") -> str:
+    """Oracle twin of :func:`_spark_shingles` — same contract: ``tokens``
+    is a materialized list column, not the tokenizer expression."""
+    t = tokens
     return (
         f"list_distinct(CASE WHEN len({t}) >= {k} THEN "
         f"list_transform(generate_series(1, len({t}) - {k} + 1), "
@@ -91,12 +119,18 @@ def _duck_shingles(k: int = SHINGLE_K) -> str:
     )
 
 
+# oracle CTE producing (doc_id, toks) — the materialization step the
+# Spark side does in _shingled's first projection
+_DUCK_TOKS_CTE = f"SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents"
+
+
 def _scan_splits(docs: DataFrame) -> int:
-    """Lower bound on the input's natural scan parallelism: one task per
-    input file plus 128 MB-split count for locally sizeable files (what
-    Spark itself would schedule for the scan). 0 when unknowable
-    (non-file inputs, remote URIs) — callers treat that as "no bound".
-    DataFrame-native (``inputFiles``); no plan-to-RDD conversion."""
+    """Lower bound on the input's natural scan parallelism: 128 MB-split
+    count for locally sizeable files (what Spark itself would schedule
+    for the scan), 1 per file whose size is unknowable here (remote
+    URIs). Returns 0 — "no bound" to callers — only when ``inputFiles``
+    is empty or raises (non-file DataFrames). DataFrame-native
+    (``inputFiles``); no plan-to-RDD conversion."""
     try:
         files = docs.inputFiles()
     except Exception:
@@ -125,30 +159,56 @@ def _parallelize(docs: DataFrame) -> DataFrame:
 
 
 def _shingled(docs: DataFrame) -> DataFrame:
+    # tokens in their own projection: referenced >1 time by the shingle
+    # fragment, so CollapseProject keeps the regexp out of the lambda
+    toks = _parallelize(docs).select(
+        "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+    )
     return (
-        _parallelize(docs)
-        .select("doc_id", F.expr(_spark_shingles()).alias("shingles"))
+        toks.select("doc_id", F.expr(_spark_shingles()).alias("shingles"))
         .filter(F.size("shingles") > 0)
     )
 
 
-def _mh_fn(j: int):
+def _lane_width(h: int) -> int:
+    """Hex chars per minhash lane. One sha256 digest is 64 hex chars; h
+    lanes must tile it exactly and carry enough entropy (>= 16 bits per
+    lane) that lane-min collisions across distinct shingle sets are
+    negligible at web-corpus shingle counts."""
+    if 64 % h != 0 or 64 // h < 4:
+        raise ValueError(f"minhash h={h} must divide 64 with lanes >= 4 hex chars")
+    return 64 // h
+
+
+def _lane_fn(start: int, width: int):
     # NB: must be a 1-arg lambda — pyspark's transform() treats a second
     # lambda parameter as the array index
-    return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+    return lambda d: F.substring(d, start + 1, width)
 
 
 def _with_sig(sh: DataFrame, h: int = MINHASH_H) -> DataFrame:
+    lane = _lane_width(h)
+    # ONE strong hash per shingle; the h components are disjoint hex
+    # lanes of that digest. The two-step select keeps the sha256
+    # transform in its own projection so Catalyst computes it once (it
+    # is referenced h times below; CollapseProject does not inline
+    # non-cheap expressions used more than once).
+    digs = sh.select(
+        "doc_id",
+        "shingles",
+        F.transform("shingles", lambda s: F.sha2(s, 256)).alias("digs"),
+    )
     sig_cols = [
-        F.array_min(F.transform(F.col("shingles"), _mh_fn(j))).alias(f"mh{j}")
+        F.array_min(F.transform(F.col("digs"), _lane_fn(j * lane, lane))).alias(f"mh{j}")
         for j in range(h)
     ]
-    return sh.select("doc_id", "shingles", F.array(*sig_cols).alias("sig"))
+    return digs.select("doc_id", "shingles", F.array(*sig_cols).alias("sig"))
 
 
 def minhash_signatures(docs: DataFrame, h: int = MINHASH_H) -> DataFrame:
     """(doc_id, sig): sig = '|'-joined minhashes, where component j is the
-    min over shingles of md5('j:'||shingle).
+    min over shingles of hex lane j of sha256(shingle) (64/h chars per
+    lane — one digest evaluation per shingle, not h).
 
     The signature is emitted as a single string (not ARRAY<STRING>) so
     downstream tabular tooling — including the driver's pandas-based
@@ -158,14 +218,22 @@ def minhash_signatures(docs: DataFrame, h: int = MINHASH_H) -> DataFrame:
     return sig.select("doc_id", F.concat_ws("|", "sig").alias("sig"))
 
 
-def minhash_signatures_sql(h: int = MINHASH_H) -> str:
-    mins = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))" for j in range(h)
+def _duck_lane_mins(h: int) -> str:
+    lane = _lane_width(h)
+    return ", ".join(
+        f"list_min(list_transform(digs, g -> substr(g, {j * lane + 1}, {lane})))"
+        for j in range(h)
     )
+
+
+def minhash_signatures_sql(h: int = MINHASH_H) -> str:
     return f"""
-WITH sh AS (SELECT doc_id, {_duck_shingles()} AS shingles FROM documents)
-SELECT doc_id, array_to_string([{mins}], '|') AS sig
-FROM sh WHERE len(shingles) > 0
+WITH tk AS ({_DUCK_TOKS_CTE}),
+sh AS (SELECT doc_id, {_duck_shingles()} AS shingles FROM tk),
+d AS (SELECT doc_id, list_transform(shingles, s -> sha256(s)) AS digs
+      FROM sh WHERE len(shingles) > 0)
+SELECT doc_id, array_to_string([{_duck_lane_mins(h)}], '|') AS sig
+FROM d
 """
 
 
@@ -278,14 +346,15 @@ def minhash_lsh_pairs_sql(
         )
         for b in range(bands)
     )
-    mins = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))" for j in range(h)
-    )
     return f"""
-WITH sh AS (
-  SELECT doc_id, {_duck_shingles()} AS shingles FROM documents
+WITH tk AS ({_DUCK_TOKS_CTE}),
+sh AS (
+  SELECT doc_id, {_duck_shingles()} AS shingles FROM tk
+), d AS (
+  SELECT doc_id, shingles, list_transform(shingles, s -> sha256(s)) AS digs
+  FROM sh WHERE len(shingles) > 0
 ), s2 AS (
-  SELECT doc_id, shingles, [{mins}] AS sig FROM sh WHERE len(shingles) > 0
+  SELECT doc_id, shingles, [{_duck_lane_mins(h)}] AS sig FROM d
 ), banded AS (
   {band_selects}
 ), cand AS (
@@ -440,9 +509,11 @@ def ngram_jaccard_pairs(
 
 def ngram_jaccard_pairs_sql(threshold: float = 0.3, max_doc_id: int = 150) -> str:
     return f"""
-WITH sh AS (
-  SELECT doc_id, {_duck_shingles()} AS shingles FROM documents
+WITH tk AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
   WHERE doc_id < {max_doc_id}
+), sh AS (
+  SELECT doc_id, {_duck_shingles()} AS shingles FROM tk
 ), sh2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(len(list_intersect(a.shingles, b.shingles))::DOUBLE

@@ -66,10 +66,13 @@ def test_duplicate_clusters_are_transitive(spark):
     base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
             "juliet kilo lima mike november oscar papa quebec romeo "
             "sierra tango").split()
+    # single-spot diffs picked (deterministically, by probing the
+    # sha256-lane hash family) so banding yields edges (0,1) and (1,2)
+    # but NOT (0,2) — the exact shape where pairwise output under-removes
     mid = list(base)
-    mid[3], mid[16] = "uniform", "victor"  # B: differs from A in 2 spots
+    mid[3] = "uniform"  # B: differs from A in 1 spot
     far = list(mid)
-    far[8], far[12] = "whiskey", "xray"  # C: differs from B in 2 more
+    far[8] = "victor"  # C: differs from B in 1 more
     texts = {0: " ".join(base), 1: " ".join(mid), 2: " ".join(far)}
     rows = [(i, t) for i, t in texts.items()]
     rows += [(10 + i, f"unrelated document number {i} about spark engines "
