@@ -5,7 +5,7 @@ corpus (documents.parquet adapted to the webtext shape) and run the
 full stemmed BM25+window free-text query.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-family (SURVEY.md §2 + training-data ops): 37 queries, 31 of them
+family (SURVEY.md §2 + training-data ops): 44 queries, 41 of them
 DuckDB-oracle-checked. SQL-expressible operators use the no-stem
 tokenizer so DuckDB computes identical values; the REAL engine query
 path is additionally hash-gated via a ``stem=False`` index
@@ -190,13 +190,23 @@ def _streamed_index(spark: SparkSession, sf_dir: str):
             shutil.rmtree(base, ignore_errors=True)
             in_dir = os.path.join(base, "in")
             webtext_from_documents(spark, sf_dir).write.parquet(in_dir)
-            start_ingest(
+            q = start_ingest(
                 spark,
                 in_dir,
                 os.path.join(base, "delta"),
                 os.path.join(base, "ckpt"),
                 stem=False,
-            ).awaitTermination(600)
+            )
+            # awaitTermination returns False on timeout with the stream
+            # still running — finalizing then would read partial deltas
+            # AND write the _COMPLETE marker, permanently caching a
+            # truncated streamed index for every later run
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "streamed-index ingest did not drain within 600 s; "
+                    "not finalizing a partial delta set"
+                )
             parts = finalize_deltas(spark, os.path.join(base, "delta"))
             build_index_from_term_doc(
                 spark,
@@ -281,7 +291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cost gates would route this tiny corpus to the exhaustive
     # scorer), hash-gated against the same closed-form oracle
     q["engine_wand_query_nostem"] = lambda s, d: free_query_wand(
-        _index(s, d, stem=False), "data", k=NOSTEM_K, force_protocol=True
+        _nostem_index_checked(s, d, ["data"]), "data", k=NOSTEM_K,
+        force_protocol=True,
     ).select("doc_id", F.round("score", 6).alias("score"))
 
     # the multi-term window arithmetic (min covering window over the
@@ -378,6 +389,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deterministic, so the oracle folds the same buckets as literals
     q["sim_lsh_topk_multiprobe"] = lambda s, d: similarity.lsh_bucketed_topk(
         _emb(s, d), _query_vec(d), k=10, n_planes=6, exclude_vec_id=0, n_probes=8
+    )
+    # the same ranked-probe knob over the bucket-PARTITIONED layout —
+    # the path a user actually runs at scale (probe set = partition
+    # filter; pruning plan-pinned in tests/test_ann_layout.py); layout
+    # geometry is the default 4 planes / 16 buckets, 8 ranked probes
+    q["sim_lsh_topk_multiprobe_layout"] = lambda s, d: (
+        similarity.lsh_bucketed_topk_layout(
+            s, _ann_layout(s, d), _query_vec(d), k=10, exclude_vec_id=0, n_probes=8
+        )
     )
 
     # multi-table LSH embedding near-dup pairs (threshold lowered to 0.3
@@ -512,6 +532,11 @@ def oracle_sql() -> dict[str, str]:
         "sim_lsh_topk_layout": similarity.lsh_topk_sql(qv, k=10, exclude_vec_id=0),
         "sim_lsh_topk_multiprobe": similarity.lsh_topk_sql(
             qv, k=10, n_planes=6, exclude_vec_id=0, n_probes=8
+        ),
+        # layout variant: same planes (the layout's meta defaults match
+        # lsh_topk_sql's) and same ranked probe set -> same oracle rows
+        "sim_lsh_topk_multiprobe_layout": similarity.lsh_topk_sql(
+            qv, k=10, exclude_vec_id=0, n_probes=8
         ),
         "sim_lsh_pairs": similarity.cosine_lsh_pairs_sql(
             threshold=0.3, dim=len(qv)

@@ -77,6 +77,11 @@ COVERAGE_FACTOR = 4
 # metadata — one tiny aggregate each, never the posting arrays.
 SPAN_GATE_FACTOR = 2  # pre-gate: need > this x coverage target spans
 BLANKET_FRACTION = 0.95  # pre-gate: bail when >= this holds all terms
+# zero-job blanket-estimate guard: the uniform-placement estimate is
+# trusted only when every query term's df/N is at least this — below
+# it, spatial clustering can make the real span-miss fraction large
+# while the estimate says ~0, so mid-df queries go to the measured gate
+HEAD_DF_FRACTION = 0.2
 SURVIVOR_BAILOUT_FRACTION = 0.5  # post-gate: bail when >= this survives
 
 # pre-gate (absolute volume, zero-job): the exhaustive scorer explodes
@@ -244,16 +249,25 @@ def free_query_wand(
         # (df/N >= 0.2) drive this to ~0 and bail here with ZERO jobs;
         # the paying planted-rare regime (df/N ~= 5e-5, block_span
         # 4096 -> miss ~= 0.81 per BASELINE.md) sails past and keeps
-        # the protocol. The model is optimistic for spatially
-        # clustered mid-df terms, where it may keep the protocol
-        # running into the in-plan gate — that path is the status quo
-        # and stays rank-identical either way.
+        # the protocol. For spatially CLUSTERED mid-df terms the
+        # uniform model UNDERestimates the miss fraction (a term
+        # confined to a doc-id range is absent from most spans even
+        # when (1-df/N)^B ~= 0), so an estimate-only gate would bail
+        # to the exhaustive scorer and forfeit a pruning win the
+        # measured in-plan gate would have kept. Guard: take the
+        # zero-job bail only when EVERY distinct term is unambiguously
+        # head (df/N >= HEAD_DF_FRACTION — a term occupying >= 20% of
+        # the corpus cannot be clustered out of most spans); anything
+        # with a mid-df term falls through to the measured in-plan
+        # gate below (the pre-round-5 status quo, rank-identical
+        # either way; tests/test_wand.py pins the clustered regime).
         n = float(index.num_docs) or 1.0
-        miss_est = sum(
-            (1.0 - df / n) ** block_span
-            for df in {t: df for _, t, df in terms}.values()
-        )
-        if miss_est <= 1.0 - BLANKET_FRACTION:
+        dfs = {t: df for _, t, df in terms}.values()
+        miss_est = sum((1.0 - df / n) ** block_span for df in dfs)
+        if (
+            min(dfs) / n >= HEAD_DF_FRACTION
+            and miss_est <= 1.0 - BLANKET_FRACTION
+        ):
             return free_query(index, query, k, plan_cache=plan_cache)
 
     span_ub = span_upper_bounds(index, terms).persist()

@@ -188,15 +188,17 @@ def test_ranked_multiprobe_recall_at_equal_budget():
     assert np.mean(rank16) >= 0.4, np.mean(rank16)
 
 
-def test_layout_ranked_probe_is_partition_pruned(spark, layout):
+@pytest.mark.parametrize("n_probes", [3, 8])
+def test_layout_ranked_probe_is_partition_pruned(spark, layout, n_probes):
     """n_probes stays a PARTITION filter listing exactly n_probes
-    buckets — a better-chosen directory set, same pruned access."""
+    buckets — a better-chosen directory set, same pruned access.
+    n_probes=8 is the sim_lsh_topk_multiprobe_layout driver geometry."""
     import re
 
     out, _ = layout
     qv = entrymod._query_vec(SF_DIR)
-    df = lsh_bucketed_topk_layout(spark, out, qv, k=10, n_probes=3)
+    df = lsh_bucketed_topk_layout(spark, out, qv, k=10, n_probes=n_probes)
     plan = df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[bucket#\d+ IN \(([^)]*)\)", plan)
     assert m, plan[:3000]
-    assert len(m.group(1).split(",")) == 3
+    assert len(m.group(1).split(",")) == n_probes

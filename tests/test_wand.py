@@ -517,3 +517,78 @@ def test_wand_blanket_estimate_bails_zero_job_on_all_head_queries(
         ).collect()
     ]
     assert auto == exact
+
+
+@pytest.fixture(scope="module")
+def clustered_index(spark, tmp_path_factory):
+    """6400 docs, block_span=64 -> 100 spans. 'alpha' in every doc;
+    'gamma' in docs 0..639 ONLY (df/N = 0.1, spatially clustered in the
+    first 10 spans). The uniform-placement blanket estimate for 'gamma'
+    is (1-0.1)^64 ~= 0.0012 — i.e. the estimate alone says "blankets,
+    bail" — while the REAL measured miss fraction is 90/100 spans."""
+    filler = ["red green", "iron wood", "north south", "first second"]
+    rows = []
+    for i in range(6400):
+        text = f"alpha {filler[i % 4]} marker{i % 160}"
+        if i < 640:
+            text = text + " gamma"
+        u = f"https://example.org/clustered/{i:08d}.html"
+        rows.append((u, _EPOCH, wrap_html(text), text, "en"))
+    wt = spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA)
+    out = str(tmp_path_factory.mktemp("idx_clustered"))
+    build_index(spark, wt, out, min_f=0, max_p=1.0, block_span=64)
+    return SearchIndex.load(spark, out)
+
+
+def test_wand_clustered_middf_term_reaches_measured_gate(
+    clustered_index, monkeypatch
+):
+    """The zero-job blanket estimate's admitted blind spot, pinned: for
+    a spatially clustered mid-df term the uniform model UNDERestimates
+    the span-miss fraction, so an estimate-only pre-gate would bail to
+    the exhaustive scorer and forfeit pruning. The HEAD_DF_FRACTION
+    guard must route such queries past the estimate into the measured
+    in-plan gate, which must KEEP the protocol (measured blanket
+    fraction far below BLANKET_FRACTION), with auto == exhaustive."""
+    from search_rs_spark.operators import wand as wand_mod
+    from search_rs_spark.operators.wand import resolve_query_terms
+
+    idx = clustered_index
+    monkeypatch.setattr(wand_mod, "MIN_PRUNABLE_POSTINGS", 0)
+
+    terms = resolve_query_terms(idx, "alpha gamma")
+    n = float(idx.num_docs)
+    block_span = int(idx.stats["block_span"])
+    dfs = {t: df for _, t, df in terms}
+    # the blind spot is real on this fixture: the uniform estimate says
+    # "blankets" (would bail) AND gamma is mid-df (guard disagrees)
+    miss_est = sum((1.0 - df / n) ** block_span for df in dfs.values())
+    assert miss_est <= 1.0 - wand_mod.BLANKET_FRACTION, miss_est
+    assert min(dfs.values()) / n < wand_mod.HEAD_DF_FRACTION
+
+    # the guard must carry the query into the metadata pass...
+    seen = []
+    real = wand_mod.span_upper_bounds
+    monkeypatch.setattr(
+        wand_mod, "span_upper_bounds",
+        lambda i, ts: seen.append(1) or real(i, ts),
+    )
+    auto = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in free_query_wand(idx, "alpha gamma", 10).collect()
+    ]
+    assert seen, "clustered mid-df query bailed on the zero-job estimate"
+
+    # ...and the MEASURED in-plan gate must keep the protocol there:
+    # ~90% of spans miss gamma, nowhere near the blanket bail line
+    ub = real(idx, terms)
+    n_spans = ub.count()
+    n_full = ub.filter(F.col("all_terms")).count()
+    assert n_spans >= 100, n_spans
+    assert n_full / n_spans <= 0.15, (n_full, n_spans)
+
+    exact = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in free_query_wand(idx, "alpha gamma", 10, force_protocol=False).collect()
+    ]
+    assert auto == exact
