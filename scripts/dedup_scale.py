@@ -72,11 +72,16 @@ def main() -> None:
             F.regexp_extract("url", r"/(\d{12})\.html$", 1).cast("long").alias("doc_id"),
             "text",
         )
-        exact = base.filter(F.col("doc_id") % EXACT_EVERY == 0).select(
+        # materialize base FIRST, then plant from the parquet: planting
+        # via union on the synth DataFrame would re-run the generator
+        # once per branch (3 full passes)
+        base.write.mode("overwrite").parquet(out)
+        based = spark.read.parquet(out)
+        exact = based.filter(F.col("doc_id") % EXACT_EVERY == 0).select(
             (F.lit(n_docs) + F.col("doc_id") / EXACT_EVERY).cast("long").alias("doc_id"),
             "text",
         )
-        near = base.filter(F.col("doc_id") % NEAR_EVERY == 1).select(
+        near = based.filter(F.col("doc_id") % NEAR_EVERY == 1).select(
             (F.lit(n_docs + n_docs // EXACT_EVERY + 1)
              + (F.col("doc_id") - 1) / NEAR_EVERY).cast("long").alias("doc_id"),
             F.concat_ws(
@@ -87,8 +92,7 @@ def main() -> None:
                 ),
             ).alias("text"),
         )
-        corpus = base.unionAll(exact).unionAll(near)
-        corpus.write.mode("overwrite").parquet(out)
+        exact.unionAll(near).write.mode("append").parquet(out)
         n = spark.read.parquet(out).count()
         print(json.dumps({
             "phase": "gen", "n_base_requested": n_docs, "rows_written": n,

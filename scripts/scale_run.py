@@ -69,6 +69,40 @@ def main() -> None:
         print(json.dumps({"phase": "gen", "n_docs": n_docs,
                           "sec": round(time.time() - t0, 1)}))
 
+    elif phase == "buildgen":
+        # build directly from the deterministic generator, no corpus
+        # parquet: at 60M+ docs this disk cannot hold corpus AND index
+        # (30M: 24 GB corpus + 31 GB index; ~75 GB usable here), and a
+        # materialized corpus is not structurally required — the build
+        # scans its input exactly once (the tokens stage's rank
+        # exchange; every later stage reads the tokens checkpoint), so
+        # generation cost rides inside the tokens stage, exactly like
+        # reading from remote object storage would. corpus_fingerprint
+        # is passed explicitly so resume never re-scans the generator.
+        n_docs, out = int(sys.argv[2]), sys.argv[3]
+        cores = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+        from search_rs_spark.plans.build import build_index
+        from search_rs_spark.sources.webtext import synthesize_webtext
+
+        os.makedirs(SCRATCH, exist_ok=True)
+        spark = get_spark(cores=cores, shuffle_partitions=64, extra_conf=BUILD_CONF)
+        corpus = synthesize_webtext(
+            spark, n_docs, seed=42, vocab_size=20000, mean_len=120,
+            partitions=max(64, n_docs // 160_000),
+        )
+        t0 = time.time()
+        metrics = build_index(
+            spark, corpus, out, resume=True,
+            corpus_fingerprint=f"gen:{n_docs}:seed42:v20000:ml120",
+        )
+        dt = time.time() - t0
+        n = json.load(open(os.path.join(out, "stats", "data.json")))["num_docs"]
+        print(json.dumps({
+            "phase": "buildgen", "cores": cores, "num_docs": n,
+            "sec": round(dt, 1), "docs_per_sec": round(n / dt, 1),
+            "stages": metrics,
+        }))
+
     elif phase == "build":
         corpus_dir, out = sys.argv[2], sys.argv[3]
         cores = int(sys.argv[4]) if len(sys.argv) > 4 else 16
