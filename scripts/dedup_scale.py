@@ -136,8 +136,11 @@ def main() -> None:
         res["minhash_signatures"] = {"sec": round(time.time() - t0, 1), "rows": n_sigs}
 
         t0 = time.time()
-        pairs = dedup.minhash_lsh_pairs(docs).persist()
+        upstream: list = []
+        pairs = dedup.minhash_lsh_pairs(docs, persist_tracker=upstream).persist()
         n_pairs = pairs.count()
+        for h_ in upstream:
+            h_.unpersist(blocking=False)
         dt_pairs = time.time() - t0
         # planted-near pair recall: (src, planted) with src = (p-near_lo)*200+1
         near_hits = pairs.filter(

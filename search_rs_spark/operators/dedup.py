@@ -243,16 +243,27 @@ def minhash_lsh_pairs(
     bands: int = MINHASH_BANDS,
     threshold: float = JACCARD_THRESHOLD,
     max_bucket: int | None = MAX_BAND_BUCKET,
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): near-dup pairs via banded LSH candidates
     verified with exact Jaccard over distinct shingles.
 
     ``max_bucket`` drops degenerate (band, band_sig) buckets larger
     than the cap before the self-join (logged), bounding the candidate
-    set; ``None`` disables the guard."""
+    set; ``None`` disables the guard.
+
+    ``persist_tracker``: the plan persists two intermediates (the
+    shingle table — corpus-sized — and the slim band table). Pass a
+    list to receive those handles and ``unpersist`` them once the
+    result is materialized; without it they stay cached until the
+    ContextCleaner notices the plans are unreachable, which at 10M+
+    docs is tens of GB of storage held across downstream stages (the
+    same contract as plans/ranks.with_global_rank)."""
     r = h // bands
     # consumed three times (signatures + both sides of the verify join)
     sh = _shingled(docs).persist()
+    if persist_tracker is not None:
+        persist_tracker.append(sh)
     sigs = _with_sig(sh, h)
     # slim band table: the self-join ships no shingle arrays
     banded = sigs.select(
@@ -276,6 +287,8 @@ def minhash_lsh_pairs(
     # consumed up to three times (cap probe + both self-join sides);
     # slim (4 rows/doc), so cache it rather than recompute signatures
     banded = banded.persist()
+    if persist_tracker is not None:
+        persist_tracker.append(banded)
 
     if max_bucket is not None:
         oversized = (
@@ -316,12 +329,25 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # attach shingle sets only for the (few) candidate pairs
+    # attach shingle sets only for the (few) candidate pairs. The semi
+    # join narrows the corpus-sized shingle table to candidate members
+    # BEFORE the equi-joins: without it those joins shuffle the whole
+    # shingle table by doc_id twice to serve a candidate set that is
+    # orders of magnitude smaller (at 10M docs that shuffle — tens of
+    # GB, twice — was the pipeline's peak-storage stage; the candidate
+    # id set is tiny, so AQE turns the semi join into a broadcast and
+    # the shingle table is filtered in place, never exchanged).
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .dropDuplicates(["doc_id"])
+    )
+    sh_cand = sh.join(cand_ids, "doc_id", "left_semi")
     with_sets = cand.join(
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        sh_cand.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
         "doc_a",
     ).join(
-        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        sh_cand.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
         "doc_b",
     )
     jac = with_sets.select(
@@ -400,8 +426,10 @@ def duplicate_clusters(
     detected by the strictly-decreasing label sum — one tiny aggregate
     per round, no row-level diff join.
     """
+    upstream: list = []
     pairs = minhash_lsh_pairs(
-        docs, h=h, bands=bands, threshold=threshold, max_bucket=max_bucket
+        docs, h=h, bands=bands, threshold=threshold, max_bucket=max_bucket,
+        persist_tracker=upstream,
     ).select("doc_a", "doc_b")
     sym = pairs.unionAll(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -414,6 +442,10 @@ def duplicate_clusters(
         .persist()
     )
     prev_sum = labels.agg(F.sum("rep").cast("decimal(38,0)").alias("s")).collect()[0]["s"]
+    # labels/sym are materialized now; the LSH pipeline's corpus-sized
+    # cached intermediates are no longer needed by any future job
+    for h_ in upstream:
+        h_.unpersist(blocking=False)
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["doc_b"] == labels["doc_id"])
