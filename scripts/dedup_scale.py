@@ -122,18 +122,22 @@ def main() -> None:
         ed = dedup.exact_dedup(docs).filter("is_duplicate").select("doc_id")
         ed_ids = ed.persist()
         n_exact_found = ed_ids.count()
-        res["exact_dedup"] = {
+        def _stage(name, d):
+            res[name] = d
+            print(json.dumps({name: d}), flush=True)
+
+        _stage("exact_dedup", {
             "sec": round(time.time() - t0, 1),
             "dups_found": n_exact_found,
             "planted_exact_found": ed_ids.filter(
                 (F.col("doc_id") >= exact_lo) & (F.col("doc_id") < near_lo)).count(),
             "near_false_positives": ed_ids.filter(F.col("doc_id") >= near_lo).count(),
-        }
+        })
         ed_ids.unpersist()
 
         t0 = time.time()
         n_sigs = dedup.minhash_signatures(docs).count()
-        res["minhash_signatures"] = {"sec": round(time.time() - t0, 1), "rows": n_sigs}
+        _stage("minhash_signatures", {"sec": round(time.time() - t0, 1), "rows": n_sigs})
 
         t0 = time.time()
         upstream: list = []
@@ -148,21 +152,21 @@ def main() -> None:
             & (F.col("doc_a") == (F.col("doc_b") - near_lo) * NEAR_EVERY + 1)
         ).count()
         n_near_planted = docs.filter(F.col("doc_id") >= near_lo).count()
-        res["lsh_pairs"] = {
+        _stage("lsh_pairs", {
             "sec": round(dt_pairs, 1), "pairs": n_pairs,
             "planted_near_recall": round(near_hits / max(1, n_near_planted), 4),
             "planted_near_total": n_near_planted,
-        }
+        })
         pairs.unpersist()
 
         t0 = time.time()
         cl = dedup.duplicate_clusters(docs).persist()
         n_dup = cl.filter("is_duplicate").count()
-        res["duplicate_clusters"] = {
+        _stage("duplicate_clusters", {
             "sec": round(time.time() - t0, 1),
             "marked_duplicate": n_dup,
             "survivors": n_total - n_dup,
-        }
+        })
         cl.unpersist()
 
         t0 = time.time()
@@ -174,10 +178,10 @@ def main() -> None:
             .select(F.explode(F.split("reasons", ",")).alias("reason"))
             .groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        res["corpus_filter_pipeline"] = {
+        _stage("corpus_filter_pipeline", {
             "sec": round(time.time() - t0, 1),
             "kept": n_keep, "dropped": n_total - n_keep, "drop_reasons": reasons,
-        }
+        })
         cf.unpersist()
         print(json.dumps(res))
 

@@ -329,6 +329,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # persisted: the plan below references cand three ways (both
+    # semi-join id sides + the pair join) — without the cache the
+    # banded self-join would run three times
+    cand = cand.persist()
+    if persist_tracker is not None:
+        persist_tracker.append(cand)
     # attach shingle sets only for the (few) candidate pairs. The semi
     # join narrows the corpus-sized shingle table to candidate members
     # BEFORE the equi-joins: without it those joins shuffle the whole
