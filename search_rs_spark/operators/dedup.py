@@ -52,18 +52,26 @@ MAX_BAND_BUCKET = 10_000
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
-    """(doc_id, text_hash, group_n, keep_doc_id, is_duplicate)."""
+    """(doc_id, text_hash, group_n, keep_doc_id, is_duplicate).
+
+    Window aggregates over ``partition by text_hash`` instead of the
+    groupBy + self-join form: identical rows, but ONE exchange of the
+    slim (doc_id, text_hash) table and a single scan of the corpus,
+    where the join form shuffled both the row table and the aggregated
+    groups and re-sorted them for the merge (guide §2.4 — two
+    operations keyed the same way share one exchange). The window's
+    per-partition state is one (count, min) pair per distinct hash —
+    bounded exactly like the aggregate's was."""
     h = docs.select("doc_id", F.md5("text").alias("text_hash"))
-    g = h.groupBy("text_hash").agg(
-        F.count(F.lit(1)).alias("group_n"), F.min("doc_id").alias("keep_doc_id")
-    )
-    return h.join(g, "text_hash").select(
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash")
+    return h.select(
         "doc_id",
         "text_hash",
-        "group_n",
-        "keep_doc_id",
-        (F.col("doc_id") != F.col("keep_doc_id")).alias("is_duplicate"),
-    )
+        F.count(F.lit(1)).over(w).alias("group_n"),
+        F.min("doc_id").over(w).alias("keep_doc_id"),
+    ).withColumn("is_duplicate", F.col("doc_id") != F.col("keep_doc_id"))
 
 
 EXACT_DEDUP_SQL = """

@@ -255,6 +255,15 @@ def _build_downstream(
         kept = dfc.filter(
             (F.col("df") <= F.lit(stats["df_threshold"])) & (F.col("df") > F.lit(min_f))
         )
+        # persist the kept (term, df) table BEFORE ranking: the rank's
+        # repartitionByRange samples its input for range boundaries, so
+        # without the cache the full explode + df-count aggregation
+        # over the corpus runs TWICE (once for sampling, once for the
+        # shuffle) — the cached table is one slim row per kept term,
+        # orders of magnitude smaller than the corpus at every scale
+        # (guide §1.2/§2.4: don't compute the expensive pass twice)
+        kept = kept.persist()
+        persists.append(kept)
         return with_global_rank(
             kept, "term", "term_id", persist_tracker=persists
         ).select("term", "term_id", "df")

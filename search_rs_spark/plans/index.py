@@ -124,10 +124,15 @@ class SearchIndex:
                     f"vocabulary too large for driver-side spellcheck "
                     f"({n_terms} terms); use distributed spellcheck"
                 )
-            rows = (
-                self.vocabulary.select("term", "term_id", "df")
-                .orderBy("term_id")
-                .collect()
+            # collect unordered and sort driver-side: an orderBy here
+            # costs a full range exchange (plus its sampling job) just
+            # to order rows the driver is about to hold in memory
+            # anyway — the gate above already bounds the row count
+            # (guide §2.4: an orderBy used only to make output
+            # deterministic is an accidental shuffle)
+            rows = sorted(
+                self.vocabulary.select("term", "term_id", "df").collect(),
+                key=lambda r: r["term_id"],
             )
             # defense-in-depth: a manifest with a stale/wrong rows field
             # (hand-assembled index dirs) must not smuggle an oversized

@@ -13,7 +13,8 @@ that serializes the whole table through one task at scale. Instead:
    in-partition-sorted stream, so the counter IS the local sort index;
    pure JVM, no Python workers, no Arrow round-trip of the payload),
 3. per-partition offsets = prefix sums of partition counts (a tiny
-   P-row aggregate, broadcast-joined back).
+   P-row aggregate collected to the driver and folded back in as one
+   constant-array literal — no window, no broadcast join).
 
 The resulting rank equals the global sort rank regardless of partition
 boundaries (AQE may coalesce adjacent range partitions — adjacent
@@ -24,7 +25,7 @@ to be unique, which holds for urls and terms).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _LOCAL_BITS = 33  # monotonically_increasing_id: record counter width
@@ -66,46 +67,53 @@ def with_global_rank(
         )
         .drop("_mid")
     )
-    # the offsets aggregate and the final join both consume `indexed`;
+    # the counts aggregate and the final pass both consume `indexed`;
     # persist so the upstream sort/scan runs once
     indexed = indexed.persist()
     if persist_tracker is not None:
         persist_tracker.append(indexed)
 
+    # Per-partition counts COLLECTED to the driver (one slim P-row job —
+    # the same bytes the broadcast-join form shipped anyway, since the
+    # offsets relation was built driver-side for the broadcast), then
+    # folded back in as ONE array literal: `element_at` on a constant
+    # array is O(1) per row, and the plan loses the single-task window,
+    # the broadcast exchange, and the join operator the previous form
+    # carried (guide §2.4 — remove exchanges outright; at any scale the
+    # offsets table is exactly num_partitions rows, so the literal stays
+    # kilobytes up to tens of thousands of partitions).
     counts = indexed.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_cnt"), F.max("_local_idx").alias("_max_idx")
-    )
+    ).collect()
     # Runtime invariant guarding the two Spark internals this rank
     # depends on (the 33-bit counter layout of
     # monotonically_increasing_id, and the optimizer never inlining the
     # multiply-referenced nondeterministic _mid): within every partition
     # the local counter must be exactly 0..cnt-1, i.e.
     # max(_local_idx) + 1 == cnt. A future Spark behavior change then
-    # surfaces as a loud error instead of silently corrupted ids. The
-    # assert is folded into _offset (null-> +0) so column pruning cannot
-    # drop it; it costs one comparison per partition, not per row.
-    _chk = F.assert_true(
-        F.col("_cnt") == F.col("_max_idx") + 1,
-        F.format_string(
-            "monotonically_increasing_id contract violated in partition %s: "
-            "count=%s but max local index=%s — global rank assignment "
-            "(plans/ranks.py) is unsound on this Spark version",
-            "_pid", "_cnt", "_max_idx",
-        ),
-    )
-    # Unpartitioned window, intentionally: it runs over the per-partition
-    # COUNTS (at most `num_partitions` rows ≈ spark.sql.shuffle.partitions,
-    # not data rows), so the single-task window is bounded and benign —
-    # the `WindowExec: No Partition Defined` warning it emits is expected.
-    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_offset",
-        F.coalesce(F.sum("_cnt").over(w), F.lit(0))
-        + F.coalesce(_chk.cast("long"), F.lit(0)),
-    ).select("_pid", "_offset")
-
-    return (
-        indexed.join(F.broadcast(offsets), "_pid")
-        .withColumn(rank_col, (F.col("_offset") + F.col("_local_idx")).cast("long"))
-        .drop("_pid", "_local_idx", "_offset")
-    )
+    # surfaces as a loud error instead of silently corrupted ids.
+    for r in counts:
+        if int(r["_cnt"]) != int(r["_max_idx"]) + 1:
+            raise RuntimeError(
+                f"monotonically_increasing_id contract violated in partition "
+                f"{r['_pid']}: count={r['_cnt']} but max local index="
+                f"{r['_max_idx']} — global rank assignment (plans/ranks.py) "
+                f"is unsound on this Spark version"
+            )
+    by_pid = {int(r["_pid"]): int(r["_cnt"]) for r in counts}
+    offsets: list[int] = []
+    acc = 0
+    for p in range(max(by_pid, default=-1) + 1):
+        offsets.append(acc)
+        acc += by_pid.get(p, 0)
+    if offsets:
+        off_expr = F.expr(
+            "element_at(array("
+            + ",".join(f"{v}L" for v in offsets)
+            + "), _pid + 1)"
+        )
+    else:  # empty input: no rows evaluate the expression
+        off_expr = F.lit(0)
+    return indexed.withColumn(
+        rank_col, (off_expr + F.col("_local_idx")).cast("long")
+    ).drop("_pid", "_local_idx")
