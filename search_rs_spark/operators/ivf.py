@@ -35,7 +35,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _cosine_topk, _dot_sql, _norm, _vec_sql
+from .similarity import _cosine_topk, _dot_sql, _norm, _norm_sql, _vec_sql
 
 IVF_N_CENTROIDS = 16
 IVF_N_PROBE = 4
@@ -88,6 +88,173 @@ def _assign_expr(vcol: str, ncol: str, centroids: list[tuple[int, list[float]]])
     return F.expr("array_max(array(" + ",".join(entries) + "))")
 
 
+def _round6_java(x: float) -> float:
+    """Spark's ``round(x, 6)`` on doubles, exactly: pass non-finite
+    through (measured: Spark returns inf/NaN unchanged), else HALF_UP
+    on the shortest round-trip decimal repr (Java
+    ``BigDecimal.valueOf``), normalized with ``+ 0.0`` because
+    BigDecimal has no negative zero (Python's Decimal does, so a tiny
+    negative that rounds to zero would otherwise come back as -0.0 and
+    diverge bit-wise from the JVM's +0.0)."""
+    import math as _math
+
+    if not _math.isfinite(x):
+        return x
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)) + 0.0
+
+
+def _assign_kernel_udf(centroids: list[tuple[int, list[float]]], dim: int):
+    """Arrow-batched numpy twin of :func:`_assign_expr` for
+    uniform-width, null-element-free rows (the JVM guard in
+    :func:`_assign_col` routes every other row to the HOF form).
+
+    Bit-identity argument, step by step against the HOF plan:
+
+    - float -> double element casts == ``astype(float64)`` (exact
+      widening);
+    - the dot/norm fold ``acc = acc + x*y`` is replayed as ``dim``
+      vectorized accumulation steps in the SAME left-to-right element
+      order, each an IEEE double multiply then add — identical
+      rounding sequence per row;
+    - ``cos = dot / (norm * cn)`` with the same operand grouping;
+    - the 6-dp HALF_UP rounding before the argmax is monotone, so the
+      rounded argmax can only differ from the unrounded one among
+      near-ties (gap < 1e-6); the kernel rounds exactly (Decimal,
+      :func:`_round6_java`) for the few candidates within 2e-6 of the
+      row max and picks (max rounded cos, min cid) — the HOF
+      ``array_max``'s struct order with ties broken toward the
+      smallest cid via the negated-cid field;
+    - rows where any cosine is NaN reproduce Spark's double ordering
+      (NaN greatest, all-NaN ties resolved by max neg_cid = smallest
+      cid).
+
+    Why a Python kernel at all: the HOF form interprets
+    ``n_centroids x dim`` lambda calls per row (~1.3 ms/row at 16x64 —
+    the dominant cost of every on-the-fly IVF operation), and the
+    unrolled-expression alternative exceeds Janino's method-parameter
+    limit at this width, falling back to interpreted eval. One numpy
+    pass per Arrow batch does the same arithmetic at vector speed
+    (guide §4.2); C x dim work per row is unchanged, so the kernel
+    scales exactly like the expression it replaces.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    C = np.array([[float(x) for x in cv] for _, cv in centroids], dtype=np.float64)
+    cids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+    cns = np.array(
+        [math.sqrt(sum(x * x for x in cv)) or 1.0 for _, cv in centroids],
+        dtype=np.float64,
+    )
+    n_cent = len(centroids)
+
+    def fn(embs):
+        n = len(embs)
+        out_cos = np.zeros(n, dtype=np.float64)
+        out_neg = np.zeros(n, dtype=np.int32)
+        # NaN travels as an explicit flag: pandas -> Arrow serialization
+        # treats NaN in a float series as NULL, which would silently
+        # rewrite a NaN cosine (possible with NaN/inf embedding values)
+        # into null; the JVM side rebuilds double('NaN') from the flag
+        out_nan = np.zeros(n, dtype=bool)
+        if n == 0:
+            return pd.DataFrame(
+                {"cos": out_cos, "neg_cid": out_neg, "nan": out_nan}
+            )
+        vals = embs.to_numpy()
+        rows = np.fromiter(
+            (
+                (e is not None and len(e) == dim)
+                for e in vals
+            ),
+            dtype=bool,
+            count=n,
+        )
+        idx = np.nonzero(rows)[0]
+        if idx.size == 0:
+            return pd.DataFrame(
+                {"cos": out_cos, "neg_cid": out_neg, "nan": out_nan}
+            )
+        V = np.stack([np.asarray(vals[i], dtype=np.float64) for i in idx])
+        m = V.shape[0]
+        # sequential fold over dimensions — the HOF aggregate's exact
+        # (multiply, add) sequence, vectorized across the batch
+        nrm = np.zeros(m, dtype=np.float64)
+        D = np.zeros((m, n_cent), dtype=np.float64)
+        for i in range(dim):
+            col = V[:, i]
+            nrm += col * col
+            D += col[:, None] * C[None, :, i]
+        nrm = np.sqrt(nrm)
+        if (nrm == 0.0).any():
+            # the HOF form raises ANSI DIVIDE_BY_ZERO for a zero-norm
+            # vector; reproduce the failure instead of silently
+            # emitting NaN where the expression would have errored
+            raise ArithmeticError(
+                "[DIVIDE_BY_ZERO] zero-norm embedding in IVF assignment "
+                "(same failure the SQL expression raises under ANSI)"
+            )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            Q = D / (nrm[:, None] * cns[None, :])
+        nan_mask = np.isnan(Q)
+        any_nan = nan_mask.any(axis=1)
+        cos_r = np.empty(m, dtype=np.float64)
+        neg_r = np.empty(m, dtype=np.int32)
+        # NaN rows: NaN sorts greatest; equal NaNs tie-break to max
+        # neg_cid = smallest cid among the NaN entries
+        nan_r = np.zeros(m, dtype=bool)
+        for r in np.nonzero(any_nan)[0]:
+            js = np.nonzero(nan_mask[r])[0]
+            neg_r[r] = -int(cids[js].min())
+            cos_r[r] = 0.0
+            nan_r[r] = True
+        ok = np.nonzero(~any_nan)[0]
+        if ok.size:
+            Qo = Q[ok]
+            mx = Qo.max(axis=1)
+            cand = Qo >= (mx[:, None] - 2e-6)
+            for t, r in enumerate(ok):
+                best = None
+                for j in np.nonzero(cand[t])[0]:
+                    rc = _round6_java(float(Qo[t, j]))
+                    key = (rc, -int(cids[j]))
+                    if best is None or key > best:
+                        best = key
+                cos_r[r] = best[0]
+                neg_r[r] = best[1]
+        out_cos[idx] = cos_r
+        out_neg[idx] = neg_r
+        out_nan[idx] = nan_r
+        return pd.DataFrame({"cos": out_cos, "neg_cid": out_neg, "nan": out_nan})
+
+    return F.pandas_udf(fn, "cos double, neg_cid int, nan boolean")
+
+
+def _assign_col(emb_col: str, centroids: list[tuple[int, list[float]]]):
+    """struct(cos, neg_cid) of the best centroid, computed straight off
+    the raw ``array<float>`` column: the numpy kernel for well-formed
+    rows (non-null, exact width, no null elements), the original HOF
+    expression for everything else — equivalent on every input, since
+    the HOF's own casts make it indifferent to operating on the raw
+    column vs the pre-cast double array."""
+    dim = len(centroids[0][1]) if centroids else 0
+    guard = F.expr(
+        f"{emb_col} IS NOT NULL AND size({emb_col}) = {dim} "
+        f"AND size(array_compact({emb_col})) = {dim}"
+    )
+    k = _assign_kernel_udf(centroids, dim)(F.col(emb_col))
+    kernel = F.struct(
+        F.when(k["nan"], F.expr("double('NaN')")).otherwise(k["cos"]).alias("cos"),
+        k["neg_cid"].alias("neg_cid"),
+    )
+    hof = _assign_expr(emb_col, _norm_sql(emb_col), centroids)
+    return F.when(guard, kernel).otherwise(hof)
+
+
 def ivf_assign(emb: DataFrame, n_centroids: int = IVF_N_CENTROIDS) -> DataFrame:
     """(vec_id, centroid_id, cos) — nearest-centroid assignment against
     the deterministic seeds (use :func:`assign_with_centroids` for
@@ -103,13 +270,10 @@ def assign_with_centroids(
     emb: DataFrame, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:
     """(vec_id, centroid_id, cos) against explicit centroids (e.g. the
-    output of :func:`kmeans_refine`)."""
-    d = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("n", _norm(F.col("v")))
-    best = _assign_expr("v", "n", centroids)
-    return d.select(
+    output of :func:`kmeans_refine`). Numpy kernel fast path with the
+    HOF expression as the ragged-row fallback (:func:`_assign_col`)."""
+    best = _assign_col("embedding", centroids)
+    return emb.select(
         "vec_id",
         (-best["neg_cid"]).alias("centroid_id"),
         best["cos"].alias("cos"),
@@ -173,11 +337,8 @@ def ivf_topk(
     the same filter is partition pruning."""
     centroids = seed_centroids(emb, n_centroids)
     probe = probe_centroids(query_vec, centroids, n_probe)
-    d = emb.withColumn(
-        "v", F.transform("embedding", lambda x: x.cast("double"))
-    ).withColumn("n", _norm(F.col("v")))
-    best = _assign_expr("v", "n", centroids)
-    cand = d.withColumn("centroid_id", -best["neg_cid"]).filter(
+    best = _assign_col("embedding", centroids)
+    cand = emb.withColumn("centroid_id", -best["neg_cid"]).filter(
         F.col("centroid_id").isin(*probe)
     )
     return _cosine_topk(cand, query_vec, k, exclude_vec_id)
@@ -245,11 +406,8 @@ def ivf_topk_with_centroids(
     assignment inline on the scan, probe as a filter, exact cosine +
     TakeOrderedAndProject."""
     probe = probe_centroids(query_vec, centroids, n_probe)
-    d = emb.withColumn(
-        "v", F.transform("embedding", lambda x: x.cast("double"))
-    ).withColumn("n", _norm(F.col("v")))
-    best = _assign_expr("v", "n", centroids)
-    cand = d.withColumn("centroid_id", -best["neg_cid"]).filter(
+    best = _assign_col("embedding", centroids)
+    cand = emb.withColumn("centroid_id", -best["neg_cid"]).filter(
         F.col("centroid_id").isin(*probe)
     )
     return _cosine_topk(cand, query_vec, k, exclude_vec_id)
@@ -330,11 +488,8 @@ def write_ivf_layout(
     centroids = seed_centroids(emb, n_centroids)
     # assignment inline on the scan (centroid literals) — no join, no
     # shuffle; the only data movement is the partitioned write itself
-    d = emb.withColumn(
-        "v", F.transform("embedding", lambda x: x.cast("double"))
-    ).withColumn("n", _norm(F.col("v")))
-    best = _assign_expr("v", "n", centroids)
-    assigned = d.withColumn("centroid_id", -best["neg_cid"]).drop("v", "n")
+    best = _assign_col("embedding", centroids)
+    assigned = emb.withColumn("centroid_id", -best["neg_cid"])
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(out_dir)
     meta = {"n_centroids": n_centroids, "centroids": centroids}
     with open(os.path.join(out_dir, IVF_META), "w") as f:
