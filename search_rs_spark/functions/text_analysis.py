@@ -80,12 +80,17 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
+def lang_id(docs: DataFrame, toks_col: str | None = None) -> DataFrame:
     """(doc_id, lang_pred, lang_score): argmax stopword-hit ratio.
 
     Tie-break: first language in LANG_ORDER; 'und' when no stopword hits.
+
+    ``toks_col`` names a pre-tokenized column (the SPARK_TOKENS
+    expression materialized upstream) so composed pipelines — see
+    operators/corpus_filter.py — tokenize the corpus once instead of
+    once per component; results are identical by construction.
     """
-    t = F.expr(SPARK_TOKENS)
+    t = F.col(toks_col) if toks_col else F.expr(SPARK_TOKENS)
     d = docs.select("doc_id", t.alias("toks"))
     for lang in LANG_ORDER:
         d = d.withColumn(
@@ -142,10 +147,13 @@ SELECT doc_id, {case} AS lang_pred, round({best}, 6)::DOUBLE AS lang_score FROM 
 _EN = LANG_STOPWORDS["en"]
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
+def quality_scores(docs: DataFrame, toks_col: str | None = None) -> DataFrame:
     """(doc_id, n_tokens, stop_ratio, alnum_ratio, quality):
-    0.4*min(n/100,1) + 0.3*min(4*stop_ratio,1) + 0.3*alnum_ratio."""
-    t = F.expr(SPARK_TOKENS)
+    0.4*min(n/100,1) + 0.3*min(4*stop_ratio,1) + 0.3*alnum_ratio.
+
+    ``toks_col``: optional pre-tokenized column (same contract as
+    :func:`lang_id`)."""
+    t = F.col(toks_col) if toks_col else F.expr(SPARK_TOKENS)
     d = docs.select(
         "doc_id",
         F.col("text"),

@@ -41,14 +41,34 @@ def corpus_filter(
     max_tokens: int = MAX_TOKENS,
     min_quality: float = MIN_QUALITY,
     langs: tuple[str, ...] = ALLOWED_LANGS,
+    persist_tracker: list | None = None,
 ) -> DataFrame:
-    """(doc_id, n_tokens, quality, lang_pred, reasons, keep)."""
-    q = quality_scores(docs).select("doc_id", "n_tokens", "quality")
-    l = lang_id(docs).select("doc_id", "lang_pred")
-    ed = exact_dedup(docs).select(
+    """(doc_id, n_tokens, quality, lang_pred, reasons, keep).
+
+    The components share ONE corpus scan and ONE tokenization: the
+    (doc_id, text, toks) projection is persisted and every component
+    reads it via its ``toks_col`` hook, where the previous composition
+    re-scanned the source four times and re-ran the tokenizer regex in
+    three of the subtrees (the round-6 finding: at single-box 10M the
+    redundant concurrent subtree footprints were the composition's
+    memory wall). ``persist_tracker`` receives the cache handles (the
+    shared base plus the LSH pipeline's intermediates) — same contract
+    as ``dedup.minhash_lsh_pairs``."""
+    from ..functions.text_analysis import SPARK_TOKENS
+
+    base = docs.select(
+        "doc_id", "text", F.expr(SPARK_TOKENS).alias("toks")
+    ).persist()
+    if persist_tracker is not None:
+        persist_tracker.append(base)
+    q = quality_scores(base, toks_col="toks").select(
+        "doc_id", "n_tokens", "quality"
+    )
+    l = lang_id(base, toks_col="toks").select("doc_id", "lang_pred")
+    ed = exact_dedup(base).select(
         "doc_id", F.col("is_duplicate").alias("exact_dup")
     )
-    nd = duplicate_clusters(docs).select(
+    nd = duplicate_clusters(base, toks_col="toks").select(
         "doc_id", F.col("is_duplicate").alias("near_dup")
     )
     j = q.join(l, "doc_id").join(ed, "doc_id").join(nd, "doc_id")

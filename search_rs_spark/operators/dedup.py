@@ -166,11 +166,15 @@ def _parallelize(docs: DataFrame) -> DataFrame:
     return docs.repartition(target, F.col("doc_id"))
 
 
-def _shingled(docs: DataFrame) -> DataFrame:
+def _shingled(docs: DataFrame, toks_col: str | None = None) -> DataFrame:
     # tokens in their own projection: referenced >1 time by the shingle
-    # fragment, so CollapseProject keeps the regexp out of the lambda
+    # fragment, so CollapseProject keeps the regexp out of the lambda.
+    # ``toks_col`` names a pre-tokenized column (same SPARK_TOKENS
+    # expression materialized upstream) so composed pipelines tokenize
+    # the corpus once — see operators/corpus_filter.py.
     toks = _parallelize(docs).select(
-        "doc_id", F.expr(SPARK_TOKENS).alias("toks")
+        "doc_id",
+        (F.col(toks_col) if toks_col else F.expr(SPARK_TOKENS)).alias("toks"),
     )
     return (
         toks.select("doc_id", F.expr(_spark_shingles()).alias("shingles"))
@@ -252,28 +256,32 @@ def minhash_lsh_pairs(
     threshold: float = JACCARD_THRESHOLD,
     max_bucket: int | None = MAX_BAND_BUCKET,
     persist_tracker: list | None = None,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): near-dup pairs via banded LSH candidates
     verified with exact Jaccard over distinct shingles.
+
+    ``toks_col``: optional pre-tokenized column (see :func:`_shingled`).
 
     ``max_bucket`` drops degenerate (band, band_sig) buckets larger
     than the cap before the self-join (logged), bounding the candidate
     set; ``None`` disables the guard.
 
-    ``persist_tracker``: the plan persists two intermediates (the
-    shingle table — corpus-sized — and the slim band table). Pass a
-    list to receive those handles and ``unpersist`` them once the
-    result is materialized; without it they stay cached until the
-    ContextCleaner notices the plans are unreachable, which at 10M+
-    docs is tens of GB of storage held across downstream stages (the
-    same contract as plans/ranks.with_global_rank)."""
+    ``persist_tracker``: the plan persists three intermediates (the
+    shingle table — corpus-sized — the slim bucket-members table, and
+    the candidate pair set). Pass a list to receive those handles and
+    ``unpersist`` them once the result is materialized; without it they
+    stay cached until the ContextCleaner notices the plans are
+    unreachable, which at 10M+ docs is tens of GB of storage held
+    across downstream stages (the same contract as
+    plans/ranks.with_global_rank)."""
     r = h // bands
     # consumed three times (signatures + both sides of the verify join)
-    sh = _shingled(docs).persist()
+    sh = _shingled(docs, toks_col=toks_col).persist()
     if persist_tracker is not None:
         persist_tracker.append(sh)
     sigs = _with_sig(sh, h)
-    # slim band table: the self-join ships no shingle arrays
+    # slim band table, consumed exactly once by the bucket aggregation
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -292,21 +300,39 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_sig")
-    # consumed up to three times (cap probe + both self-join sides);
-    # slim (4 rows/doc), so cache it rather than recompute signatures
-    banded = banded.persist()
+
+    # WITHIN-bucket pair generation instead of a banded self-join: one
+    # groupBy collects each (band, band_sig) bucket's member list (state
+    # bounded by the bucket cap), then ordered pairs explode from the
+    # sorted list in place. The self-join form shuffled the corpus-sized
+    # band table TWICE (both join sides) and merge-joined them; this
+    # form shuffles it once into an aggregation and generates the same
+    # pair set with no join at all (the round-6 10M run's wall was
+    # exactly that self-join). Two-level explode (member row carries
+    # the list, pairs stream off a slice) keeps peak per-row memory
+    # O(bucket), not O(bucket^2). Buckets of one member produce no
+    # pairs and are dropped before the cap probe — the probe's
+    # oversized detection is unaffected (the cap is >= 1).
+    members = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.collect_list("doc_id").alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    # consumed twice (cap probe + pair generation); slim: one row per
+    # multi-member bucket
+    members = members.persist()
     if persist_tracker is not None:
-        persist_tracker.append(banded)
+        persist_tracker.append(members)
 
     if max_bucket is not None:
-        oversized = (
-            banded.groupBy("band", "band_sig")
-            .agg(F.count(F.lit(1)).alias("bucket_n"))
-            .filter(F.col("bucket_n") > max_bucket)
-        )
         # eager slim probe: when no bucket is degenerate (the normal
-        # case) the plan below stays untouched — no anti-join added
-        over_rows = oversized.limit(1001).collect()
+        # case) the plan below stays untouched
+        over_rows = (
+            members.select(F.size("members").alias("bucket_n"))
+            .filter(F.col("bucket_n") > max_bucket)
+            .limit(1001)
+            .collect()
+        )
         if over_rows:
             suffix = "+" if len(over_rows) > 1000 else ""
             log.warning(
@@ -319,22 +345,13 @@ def minhash_lsh_pairs(
                 max_bucket,
                 max(x["bucket_n"] for x in over_rows),
             )
-            banded = banded.join(
-                F.broadcast(oversized.select("band", "band_sig")),
-                ["band", "band_sig"],
-                "left_anti",
-            )
+            members = members.filter(F.size("members") <= max_bucket)
 
-    a = banded.alias("a")
-    b = banded.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        members.select(F.array_sort("members").alias("ms"))
+        .select("ms", F.posexplode("ms").alias("i", "doc_a"))
+        .select("doc_a", F.expr("slice(ms, i + 2, size(ms))").alias("rest"))
+        .select("doc_a", F.explode("rest").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # persisted: the plan below references cand three ways (both
@@ -424,6 +441,7 @@ def duplicate_clusters(
     threshold: float = JACCARD_THRESHOLD,
     max_bucket: int | None = MAX_BAND_BUCKET,
     max_iter: int = 20,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_rep, is_duplicate): every document labeled with
     the minimum doc_id of its near-duplicate connected component
@@ -443,7 +461,7 @@ def duplicate_clusters(
     upstream: list = []
     pairs = minhash_lsh_pairs(
         docs, h=h, bands=bands, threshold=threshold, max_bucket=max_bucket,
-        persist_tracker=upstream,
+        persist_tracker=upstream, toks_col=toks_col,
     ).select("doc_a", "doc_b")
     sym = pairs.unionAll(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
