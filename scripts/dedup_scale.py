@@ -74,9 +74,13 @@ def main() -> None:
         )
         # materialize base FIRST, then plant from the parquet: planting
         # via union on the synth DataFrame would re-run the generator
-        # once per branch (3 full passes)
-        base.write.mode("overwrite").parquet(out)
-        based = spark.read.parquet(out)
+        # once per branch (3 full passes). Base and planted rows live
+        # in SEPARATE subdirs: appending planted rows to the same path
+        # they are read from (the round-6 shape) risks a partially
+        # planted corpus on mid-write failure or an AQE re-list
+        # double-reading fresh files (ADVICE round 6).
+        base.write.mode("overwrite").parquet(f"{out}/base")
+        based = spark.read.parquet(f"{out}/base")
         exact = based.filter(F.col("doc_id") % EXACT_EVERY == 0).select(
             (F.lit(n_docs) + F.col("doc_id") / EXACT_EVERY).cast("long").alias("doc_id"),
             "text",
@@ -92,8 +96,8 @@ def main() -> None:
                 ),
             ).alias("text"),
         )
-        exact.unionAll(near).write.mode("append").parquet(out)
-        n = spark.read.parquet(out).count()
+        exact.unionAll(near).write.mode("overwrite").parquet(f"{out}/planted")
+        n = spark.read.parquet(f"{out}/base", f"{out}/planted").count()
         print(json.dumps({
             "phase": "gen", "n_base_requested": n_docs, "rows_written": n,
             "sec": round(time.time() - t0, 1),
@@ -106,7 +110,14 @@ def main() -> None:
         from search_rs_spark.operators.corpus_filter import corpus_filter
 
         spark = get_spark(cores=cores, shuffle_partitions=64, extra_conf=CONF)
-        docs = spark.read.parquet(corpus_dir)
+        # corpora from the split gen phase hold base/ + planted/ subdirs;
+        # older flat corpora read as before
+        if os.path.isdir(os.path.join(corpus_dir, "base")):
+            docs = spark.read.parquet(
+                os.path.join(corpus_dir, "base"), os.path.join(corpus_dir, "planted")
+            )
+        else:
+            docs = spark.read.parquet(corpus_dir)
         n_total = docs.count()
         res = {"n_total": n_total, "cores": cores}
         # planted ground truth by id range: base ids < n_base (the

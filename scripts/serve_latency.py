@@ -26,7 +26,17 @@ QUERIES = [
 
 
 def rss_mb() -> float:
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    """CURRENT resident set (MB) from /proc/self/statm — not the
+    ru_maxrss high-water mark, which only ever grows: with both engines
+    loaded in one process the high-water delta for the second engine
+    was deflated by the first engine's transient peak (ADVICE round 6).
+    Falls back to ru_maxrss where /proc is unavailable."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * (resource.getpagesize() / 1024.0) / 1024.0
+    except (OSError, ValueError, IndexError):
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
 def bench(engine, reps: int):

@@ -68,9 +68,9 @@ def corpus_filter(
     ed = exact_dedup(base).select(
         "doc_id", F.col("is_duplicate").alias("exact_dup")
     )
-    nd = duplicate_clusters(base, toks_col="toks").select(
-        "doc_id", F.col("is_duplicate").alias("near_dup")
-    )
+    nd = duplicate_clusters(
+        base, toks_col="toks", persist_tracker=persist_tracker
+    ).select("doc_id", F.col("is_duplicate").alias("near_dup"))
     j = q.join(l, "doc_id").join(ed, "doc_id").join(nd, "doc_id")
     reasons = F.concat_ws(
         ",",

@@ -442,6 +442,7 @@ def duplicate_clusters(
     max_bucket: int | None = MAX_BAND_BUCKET,
     max_iter: int = 20,
     toks_col: str | None = None,
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_rep, is_duplicate): every document labeled with
     the minimum doc_id of its near-duplicate connected component
@@ -457,6 +458,12 @@ def duplicate_clusters(
     exactly what ``max_bucket`` already bounds). Convergence is
     detected by the strictly-decreasing label sum — one tiny aggregate
     per round, no row-level diff join.
+
+    ``persist_tracker``: the returned plan references the final cached
+    labels table (one slim row per pair-graph member); pass a list to
+    receive the handle and unpersist it once the output materializes —
+    without it the cache lives until the ContextCleaner collects the
+    plan (the ADVICE-flagged per-call leak).
     """
     upstream: list = []
     pairs = minhash_lsh_pairs(
@@ -515,6 +522,8 @@ def duplicate_clusters(
         )
     )
     sym.unpersist(blocking=False)
+    if persist_tracker is not None:
+        persist_tracker.append(labels)
     return out
 
 

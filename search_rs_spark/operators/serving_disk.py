@@ -33,7 +33,6 @@ from .spellcheck import DriverVocabulary
 from .window_score import (
     BM25_SCORE_MULTIPLIER,
     WINDOW_SCORE_MULTIPLIER,
-    min_window,
 )
 
 BM25_K1 = 1.2
@@ -83,29 +82,50 @@ class DiskEngine:
     def _read_postings(self, tokens: list[str]) -> dict:
         """term -> (doc_ids, tfs, dls, positions) in doc order, merged
         across blocks — reads ONLY the row groups whose term min/max
-        admits a query term (the files are term-sorted)."""
+        admits a query term (the files are term-sorted).
+
+        NUMPY layout per term (the round-6 per-posting Python loop was
+        the serving bottleneck): doc_ids/tfs/dls as int64 ndarrays;
+        positions as a flat int64 ndarray plus a per-posting length
+        array, so the scorer never touches per-posting Python objects.
+        """
+        import numpy as np
         import pyarrow.compute as pc
 
         tab = self._postings_ds.to_table(
             columns=["term", "block_id", "doc_ids", "tfs", "dls", "positions"],
             filter=pc.field("term").isin(tokens),
-        ).to_pydict()
+        )
+        terms = tab["term"].to_pylist()
+        blocks_col = tab["block_id"].to_pylist()
         by_term: dict = {}
-        for t, b, dids, tfs, dls, poss in zip(
-            tab["term"], tab["block_id"], tab["doc_ids"], tab["tfs"],
-            tab["dls"], tab["positions"],
-        ):
-            by_term.setdefault(t, []).append((b, dids, tfs, dls, poss))
+        for i, (t, b) in enumerate(zip(terms, blocks_col)):
+            by_term.setdefault(t, []).append((b, i))
         out = {}
         for t, blocks in by_term.items():
-            blocks.sort(key=lambda x: x[0])
-            dids, tfs, dls, poss = [], [], [], []
-            for _b, d, f_, l, p in blocks:
-                dids.extend(d)
-                tfs.extend(f_)
-                dls.extend(l)
-                poss.extend(list(x) for x in p)
-            out[t] = (dids, tfs, dls, poss)
+            blocks.sort()
+            dids_parts, tfs_parts, dls_parts = [], [], []
+            flat_parts, len_parts = [], []
+            for _b, i in blocks:
+                dids_parts.append(np.asarray(tab["doc_ids"][i].as_py(), dtype=np.int64))
+                tfs_parts.append(np.asarray(tab["tfs"][i].as_py(), dtype=np.int64))
+                dls_parts.append(np.asarray(tab["dls"][i].as_py(), dtype=np.int64))
+                # positions: ListArray of ListArray — flatten via arrow,
+                # lengths from the offsets, no per-element Python
+                pos_arr = tab["positions"][i].values
+                len_parts.append(
+                    np.asarray(pc.list_value_length(pos_arr), dtype=np.int64)
+                )
+                flat_parts.append(
+                    np.asarray(pos_arr.flatten(), dtype=np.int64)
+                )
+            out[t] = (
+                np.concatenate(dids_parts) if dids_parts else np.empty(0, np.int64),
+                np.concatenate(tfs_parts) if tfs_parts else np.empty(0, np.int64),
+                np.concatenate(dls_parts) if dls_parts else np.empty(0, np.int64),
+                np.concatenate(flat_parts) if flat_parts else np.empty(0, np.int64),
+                np.concatenate(len_parts) if len_parts else np.empty(0, np.int64),
+            )
         return out
 
     def _urls_for(self, doc_ids: list[int]) -> dict:
@@ -145,38 +165,66 @@ class DiskEngine:
                 tokens.append(c)
         if not tokens:
             return []
+        import numpy as np
+
+        from .window_score import min_windows_batch
+
         postings = self._read_postings(sorted(set(tokens)))
         n = float(self.num_docs)
         avgdl = self.avgdl or 1.0
-        scores: dict[int, float] = {}
-        doc_len: dict[int, int] = {}
-        tpos: dict[int, list] = {}
+        # Vectorized scoring pass (round-6 finding: the per-posting
+        # Python loop dominated head-term latency). Arithmetic replays
+        # the scalar loop exactly: same per-element operator order for
+        # the bm term, accumulation in ascending-qid order (doc ids are
+        # unique within one term's postings, so fancy-index += is one
+        # add per doc per qid, like the dict accumulation), and the
+        # batch window kernel is property-pinned bit-equal to
+        # min_window. Results are identical to the loop (and to
+        # LocalEngine — pinned in tests/test_serving_disk.py).
+        per_qid = []
         for qid, tok in enumerate(tokens):
             got = self.vocab.get(tok)
             if got is None or tok not in postings:
                 continue
             _, df = got
             idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
-            dids, tfs, dls, poss = postings[tok]
-            for d, tf, dl, pos in zip(dids, tfs, dls, poss):
-                bm = idf * (tf * (BM25_K1 + 1.0)) / (
-                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * float(dl) / avgdl)
-                )
-                scores[d] = scores.get(d, 0.0) + bm
-                doc_len[d] = dl
-                tpos.setdefault(d, []).extend((p, qid) for p in pos)
-        nt = len(tokens)
-        ranked = []
-        for d, s in scores.items():
-            w = min_window(tpos[d], nt)
-            score = WINDOW_SCORE_MULTIPLIER * (nt / w) + BM25_SCORE_MULTIPLIER * (
-                s / doc_len[d]
+            per_qid.append((qid, idf) + postings[tok])
+        if not per_qid:
+            return []
+        uniq = np.unique(np.concatenate([p[2] for p in per_qid]))
+        m = uniq.size
+        scores = np.zeros(m, dtype=np.float64)
+        dl_arr = np.ones(m, dtype=np.int64)
+        pair_doc, pair_pos, pair_qid = [], [], []
+        for qid, idf, dids, tfs, dls, flat, lens in per_qid:
+            idx = np.searchsorted(uniq, dids)
+            tf = tfs.astype(np.float64)
+            dlf = dls.astype(np.float64)
+            bm = (
+                idf
+                * (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * ((1.0 - BM25_B) + (BM25_B * dlf) / avgdl))
             )
-            ranked.append((d, score))
-        ranked.sort(key=lambda r: (-r[1], r[0]))
-        top = ranked[:k]
-        urls = self._urls_for([d for d, _ in top])
-        return [(d, urls.get(d), s) for d, s in top]
+            scores[idx] += bm
+            dl_arr[idx] = dls
+            pair_doc.append(np.repeat(idx, lens))
+            pair_pos.append(flat)
+            pair_qid.append(np.full(int(lens.sum()), qid, dtype=np.int64))
+        nt = len(tokens)
+        pdoc = np.concatenate(pair_doc)
+        ppos = np.concatenate(pair_pos)
+        pqid = np.concatenate(pair_qid)
+        order = np.argsort(pdoc, kind="stable")
+        w = min_windows_batch(
+            ppos[order], pqid[order], np.bincount(pdoc, minlength=m), nt
+        )
+        final = WINDOW_SCORE_MULTIPLIER * (nt / w) + BM25_SCORE_MULTIPLIER * (
+            scores / dl_arr
+        )
+        top = np.lexsort((uniq, -final))[:k]
+        top_docs = [int(d) for d in uniq[top]]
+        urls = self._urls_for(top_docs)
+        return [(d, urls.get(d), float(s)) for d, s in zip(top_docs, final[top])]
 
     def boolean_query(self, query: str):
         """-> [(doc_id, url, 1.0)] — identical to LocalEngine, including
@@ -188,29 +236,39 @@ class DiskEngine:
                 c = self.vocab.spellcheck_term(p)
                 if c is not None:
                     operand_terms.append(c)
+        import numpy as np
+
         postings = self._read_postings(sorted(set(operand_terms)))
-        stack: list[list[int]] = []
+        # numpy set algebra over sorted duplicate-free id arrays —
+        # identical results to the set/list form (operands are sorted
+        # and duplicate-free by construction), and the NOT complement
+        # no longer materializes a corpus-sized Python range list
+        # (round-6 finding: corpus-sized driver state at 100M+)
+        stack: list = []
         n = self.num_docs
         for p in postfix:
             if p == "AND":
-                b, a = set(stack.pop()), stack.pop()
-                stack.append([d for d in a if d in b])
+                b, a = stack.pop(), stack.pop()
+                stack.append(np.intersect1d(a, b))
             elif p == "OR":
                 b, a = stack.pop(), stack.pop()
-                stack.append(sorted(set(a) | set(b)))
+                stack.append(np.union1d(a, b))
             elif p == "NOT":
                 a = stack.pop()
-                if not a:
-                    stack.append(list(range(1, n + 1)))
+                if len(a) == 0:
+                    # the reference's empty-operand quirk: 1..=n
+                    stack.append(np.arange(1, n + 1, dtype=np.int64))
                 else:
-                    s = set(a)
-                    stack.append([d for d in range(n) if d not in s])
+                    mask = np.ones(n, dtype=bool)
+                    av = np.asarray(a, dtype=np.int64)
+                    mask[av[av < n]] = False
+                    stack.append(np.nonzero(mask)[0].astype(np.int64))
             else:
                 c = self.vocab.spellcheck_term(p)
                 if c is None or c not in postings:
-                    stack.append([])
+                    stack.append(np.empty(0, dtype=np.int64))
                 else:
-                    stack.append(list(postings[c][0]))
-        result = stack.pop()
+                    stack.append(postings[c][0])
+        result = [int(d) for d in stack.pop()]
         urls = self._urls_for([d for d in result if d < n])
         return [(d, urls.get(d), 1.0) for d in result]

@@ -94,14 +94,31 @@ def test_row_group_pruning_bites(engines):
     multiple row groups only if files are small; assert on the
     fragment-level stats contract instead: every file reports term
     min/max so the pruning predicate is evaluable)."""
-    import pyarrow.dataset as ds
+    import pyarrow.dataset as ds  # noqa: F401
     import pyarrow.parquet as pq
 
     _, disk = engines
     frags = list(disk._postings_ds.get_fragments())
     assert frags
+    # resolve the term column INDEX by name from the file schema — a
+    # hardcoded column(1) would silently check the wrong column if the
+    # postings schema order ever changed (ADVICE round 6)
+    pf0 = pq.ParquetFile(frags[0].path)
+    term_idx = pf0.schema_arrow.get_field_index("term")
+    assert term_idx >= 0
+    total_rows = 0
     for frag in frags:
         md = pq.ParquetFile(frag.path).metadata
+        total_rows += md.num_rows
         for rg in range(md.num_row_groups):
-            col = md.row_group(rg).column(1)  # term column
+            col = md.row_group(rg).column(term_idx)
             assert col.statistics is not None and col.statistics.has_min_max
+    # and the stats must actually BITE: a single-term filtered read
+    # materializes strictly fewer rows than the whole table
+    import pyarrow.compute as pc
+
+    one_term = pf0.read_row_group(0, columns=["term"])["term"][0].as_py()
+    filtered = disk._postings_ds.to_table(
+        columns=["term"], filter=pc.field("term") == one_term
+    )
+    assert 0 < filtered.num_rows < total_rows
