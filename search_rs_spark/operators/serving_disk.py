@@ -95,36 +95,65 @@ class DiskEngine:
         tab = self._postings_ds.to_table(
             columns=["term", "block_id", "doc_ids", "tfs", "dls", "positions"],
             filter=pc.field("term").isin(tokens),
-        )
+        ).combine_chunks()
         terms = tab["term"].to_pylist()
         blocks_col = tab["block_id"].to_pylist()
         by_term: dict = {}
         for i, (t, b) in enumerate(zip(terms, blocks_col)):
             by_term.setdefault(t, []).append((b, i))
+
+        # offset-based zero-copy views over the Arrow buffers: a head
+        # term's postings are millions of elements, and per-row
+        # ``.as_py()`` conversion (one Python object per posting) was
+        # the remaining serving wall after vectorizing the scorer.
+        def _list_col(name):
+            col = tab[name].chunk(0) if tab[name].num_chunks else None
+            if col is None:
+                return None, None
+            return np.asarray(col.values), np.asarray(col.offsets)
+
+        did_v, did_o = _list_col("doc_ids")
+        tf_v, tf_o = _list_col("tfs")
+        dl_v, dl_o = _list_col("dls")
+        pos_col = (
+            tab["positions"].chunk(0) if tab["positions"].num_chunks else None
+        )
+        if pos_col is not None:
+            pos_outer_off = np.asarray(pos_col.offsets)  # row -> posting range
+            inner = pos_col.values  # ListArray of int positions
+            pos_inner_off = np.asarray(inner.offsets)  # posting -> flat range
+            pos_flat = np.asarray(inner.values)
+
         out = {}
         for t, blocks in by_term.items():
             blocks.sort()
             dids_parts, tfs_parts, dls_parts = [], [], []
             flat_parts, len_parts = [], []
             for _b, i in blocks:
-                dids_parts.append(np.asarray(tab["doc_ids"][i].as_py(), dtype=np.int64))
-                tfs_parts.append(np.asarray(tab["tfs"][i].as_py(), dtype=np.int64))
-                dls_parts.append(np.asarray(tab["dls"][i].as_py(), dtype=np.int64))
-                # positions: ListArray of ListArray — flatten via arrow,
-                # lengths from the offsets, no per-element Python
-                pos_arr = tab["positions"][i].values
-                len_parts.append(
-                    np.asarray(pc.list_value_length(pos_arr), dtype=np.int64)
-                )
+                dids_parts.append(did_v[did_o[i] : did_o[i + 1]])
+                tfs_parts.append(tf_v[tf_o[i] : tf_o[i + 1]])
+                dls_parts.append(dl_v[dl_o[i] : dl_o[i + 1]])
+                p0, p1 = pos_outer_off[i], pos_outer_off[i + 1]
+                len_parts.append(np.diff(pos_inner_off[p0 : p1 + 1]))
                 flat_parts.append(
-                    np.asarray(pos_arr.flatten(), dtype=np.int64)
+                    pos_flat[pos_inner_off[p0] : pos_inner_off[p1]]
                 )
             out[t] = (
-                np.concatenate(dids_parts) if dids_parts else np.empty(0, np.int64),
-                np.concatenate(tfs_parts) if tfs_parts else np.empty(0, np.int64),
-                np.concatenate(dls_parts) if dls_parts else np.empty(0, np.int64),
-                np.concatenate(flat_parts) if flat_parts else np.empty(0, np.int64),
-                np.concatenate(len_parts) if len_parts else np.empty(0, np.int64),
+                np.concatenate(dids_parts).astype(np.int64)
+                if dids_parts
+                else np.empty(0, np.int64),
+                np.concatenate(tfs_parts).astype(np.int64)
+                if tfs_parts
+                else np.empty(0, np.int64),
+                np.concatenate(dls_parts).astype(np.int64)
+                if dls_parts
+                else np.empty(0, np.int64),
+                np.concatenate(flat_parts).astype(np.int64)
+                if flat_parts
+                else np.empty(0, np.int64),
+                np.concatenate(len_parts).astype(np.int64)
+                if len_parts
+                else np.empty(0, np.int64),
             )
         return out
 
