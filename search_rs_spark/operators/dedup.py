@@ -373,7 +373,16 @@ def minhash_lsh_pairs(
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
         .dropDuplicates(["doc_id"])
     )
-    sh_cand = sh.join(cand_ids, "doc_id", "left_semi")
+    # merge hint: the attach joins below must NEVER broadcast the
+    # shingle-carrying side. The planner's post-semi-join size ESTIMATE
+    # for this table is fiction (guide §3.1: estimates go badly wrong
+    # after filters) — at 10M docs it undershot the 64 MB threshold on
+    # a table whose real broadcast relation is ~4 GB of shingle arrays
+    # and OOM'd the executors deserializing it (measured this round).
+    # Sort-merge keyed on doc id is the scale shape for both
+    # attachments; the slim candidate-id semi join above stays free to
+    # broadcast (ids only, bounded by 2x the pair count).
+    sh_cand = sh.join(cand_ids, "doc_id", "left_semi").hint("merge")
     with_sets = cand.join(
         sh_cand.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
         "doc_a",
