@@ -483,6 +483,18 @@ def duplicate_clusters(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
 
+    # materialize the slim symmetric edge list FIRST and release the LSH
+    # pipeline's corpus-sized cached intermediates (shingles, bucket
+    # members, candidates) before label propagation starts: the loop
+    # below only ever reads sym, so holding tens of GB of shingle cache
+    # through O(diameter) propagation rounds was pure peak-storage cost
+    # (measured at 10M: the single job that materialized sym+labels+the
+    # whole LSH cache graph at once also tripped Spark's concurrent
+    # cache-rebuild path; sequencing the builds avoids both).
+    sym.count()
+    for h_ in upstream:
+        h_.unpersist(blocking=False)
+
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -490,10 +502,6 @@ def duplicate_clusters(
         .persist()
     )
     prev_sum = labels.agg(F.sum("rep").cast("decimal(38,0)").alias("s")).collect()[0]["s"]
-    # labels/sym are materialized now; the LSH pipeline's corpus-sized
-    # cached intermediates are no longer needed by any future job
-    for h_ in upstream:
-        h_.unpersist(blocking=False)
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["doc_b"] == labels["doc_id"])
