@@ -33,6 +33,33 @@ LANG_STOPWORDS = {
 LANG_ORDER = ["en", "de", "fr", "es"]
 
 
+def _scan_width(docs: DataFrame) -> DataFrame:
+    """Spread CPU-bound per-row work across the cluster when the input
+    arrives narrow (a small single-file parquet scans as ONE task, so a
+    shuffle-free operator would otherwise serialize all its md5 work on
+    one core). Target = max(shuffle conf, the input's own 128 MB-split
+    scan width): widening a narrow input is the point, but a corpus
+    that already scans wider than the conf must not be shrunk. Same
+    contract as operators/dedup._parallelize (kept local — functions/
+    must not import from operators/)."""
+    import os
+
+    spark = docs.sparkSession
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        files = []
+    splits = 0
+    for uri in files:
+        p = uri[len("file:"):] if uri.startswith("file:") else None
+        if p and os.path.exists(p):
+            splits += max(1, -(-os.path.getsize(p) // (128 << 20)))
+        else:
+            splits += 1
+    target = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), splits)
+    return docs.repartition(target, F.col("doc_id"))
+
+
 def _arr(words: list[str]) -> str:
     return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
 
@@ -298,39 +325,54 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -
     least one common fingerprint — the standard local document sketch
     for plagiarism/near-dup detection.
 
-    Plan shape: one md5 per k-gram inside a single projection (the
-    gram array is built once per row — a slice-per-window array form
-    would re-evaluate the gram expression per window, going quadratic),
-    then posexplode + a doc_id-partitioned sliding ``min`` window.
-    Rows shuffled = characters scanned, partitioned by doc_id and
-    bounded per doc by document length, so the window state never
-    exceeds one document. Ties break leftmost because md5 hex is
-    fixed-width, making lexicographic min == min by (hash, pos).
-    Texts shorter than k yield no rows.
+    Plan shape: every window and the dedup are confined to one
+    document, so the whole selection is per-row work — the
+    (hash || '|' || position) array is built once per row in its own
+    projection (one md5 per k-gram; the array column is referenced
+    several times below, which keeps CollapseProject from inlining the
+    md5 transform into each consumer — verified: one md5 site in the
+    final plan), the sliding min is an ``array_min`` over a per-window
+    ``slice`` of that materialized array value (slice reads the
+    computed array, it does not re-evaluate the grams), and the
+    per-document dedup is an ``array_distinct`` before the explode.
+    Cross-document (doc_id, fp) rows are already unique after the
+    per-doc dedup, so no global distinct is needed. The previous form
+    posexploded one row per character and shuffled them into a
+    doc_id-partitioned sliding window — rows shuffled = characters
+    scanned, plus a second exchange for the global distinct; the one
+    exchange left is ``_scan_width``'s repartition of the slim
+    (doc_id, text) rows, which exists only to widen narrow scans
+    (measured at sf0.1: 3.84 s -> 1.31 s noop, plan = 1 slim Exchange
+    + 0 Window vs per-character Exchange + Window + distinct
+    Exchange). Ties break leftmost because md5 hex is fixed-width,
+    making lexicographic min == min by (hash, pos). Texts shorter
+    than k yield no rows (the hps array is NULL and explode drops the
+    row).
     """
-    from pyspark.sql import Window
-
     s = F.concat_ws(" ", F.expr(SPARK_TOKENS))
-    d = docs.select("doc_id", s.alias("txt"))
+    d = _scan_width(docs).select("doc_id", s.alias("txt"))
     n_g = F.greatest(F.length("txt") - F.lit(k - 1), F.lit(0))
-    grams = F.when(
+    hps = F.when(
         n_g > 0,
         F.transform(
             F.sequence(F.lit(1), n_g),
-            lambda i: F.md5(F.col("txt").substr(i, F.lit(k))),
+            lambda i: F.concat(
+                F.md5(F.col("txt").substr(i, F.lit(k))),
+                F.lit("|"),
+                F.lpad(i.cast("string"), 12, "0"),
+            ),
         ),
     )
-    g = d.select("doc_id", F.posexplode(grams).alias("pos", "h"))
-    hp = F.concat("h", F.lit("|"), F.lpad((F.col("pos") + 1).cast("string"), 12, "0"))
-    by_doc = Window.partitionBy("doc_id")
-    sliding = by_doc.orderBy("pos").rowsBetween(0, w - 1)
-    sel = g.select(
-        "doc_id",
-        "pos",
-        F.min(hp).over(sliding).alias("sel"),
-        F.count(F.lit(1)).over(by_doc).alias("n_g"),
-    ).filter(F.col("pos") + 1 <= F.greatest(F.col("n_g") - F.lit(w - 1), F.lit(1)))
-    return sel.select("doc_id", F.substring("sel", 1, 32).alias("fp")).distinct()
+    g = d.select("doc_id", hps.alias("hps"))
+    n_keep = F.greatest(F.size("hps") - F.lit(w - 1), F.lit(1))
+    sels = F.when(
+        F.size("hps") > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_keep),
+            lambda i: F.substring(F.array_min(F.slice("hps", i, w)), 1, 32),
+        ),
+    )
+    return g.select("doc_id", F.explode(F.array_distinct(sels)).alias("fp"))
 
 
 def winnow_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
